@@ -1,0 +1,60 @@
+"""LAS = pyramidal encoder + attention decoder (ref: models/Las.py:17-123).
+
+Seq2seq constructs LAS with fixed hyperparameters: bilinear attention,
+3 decoder layers, pyramid encoder, spec_aug=True, hidden sizes = dim_model
+(ref: models/Seq2seq.py:145-169).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from stjep_tpu.config import ModelConfig
+from stjep_tpu.models.las_decoder import las_decoder_forward, las_decoder_init
+from stjep_tpu.models.las_encoder import las_encoder_forward, las_encoder_init
+
+
+def las_init(key, cfg: ModelConfig, dtype=jnp.float32) -> Dict:
+    k1, k2 = jax.random.split(key)
+    return {
+        "encoder": las_encoder_init(k1, cfg, dtype),
+        "decoder": las_decoder_init(k2, cfg, dtype),
+    }
+
+
+def las_forward(
+    params: Dict,
+    cfg: ModelConfig,
+    acous_feats: jnp.ndarray,
+    acous_lens: Optional[jnp.ndarray] = None,
+    tgt: Optional[jnp.ndarray] = None,
+    use_teacher_forcing: bool = False,
+    max_seq_len: Optional[int] = None,
+    rng: Optional[jax.Array] = None,
+    is_training: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """(sequence_embs, logps, symbols, lengths) — ref: models/Las.py:91-123.
+
+    The teacher-forcing decision is made by the CALLER per batch (the
+    reference flips a coin `random.random() < ratio`, ref: Dec.py:196; in
+    practice ratio is only ever 1.0 or 0.0, so this is a static choice of
+    compiled branch).
+    """
+    if use_teacher_forcing:
+        assert tgt is not None  # ref: Las.py:107
+    if rng is not None:
+        rng_enc, rng_dec = jax.random.split(rng)
+    else:
+        rng_enc = rng_dec = None
+    acous_outputs, _ = las_encoder_forward(
+        params["encoder"], cfg, acous_feats, acous_lens=acous_lens,
+        rng=rng_enc, is_training=is_training,
+    )
+    return las_decoder_forward(
+        params["decoder"], cfg, acous_outputs, acous_lens=acous_lens, tgt=tgt,
+        use_teacher_forcing=use_teacher_forcing, max_seq_len=max_seq_len,
+        rng=rng_dec, is_training=is_training,
+    )

@@ -1,0 +1,235 @@
+"""LAS attention decoder (the 'attend-and-spell') as a single lax.scan.
+
+TPU-native rebuild of the reference Dec (ref: models/Dec.py:24-438). The
+reference's per-token Python loop (ref: Dec.py:205-224) becomes one scan whose
+carry holds the 3-layer residual uni-LSTM state, the previous FFN cell value
+(the *dynamic embedding*), the hybrid-attention cumulative mean, and the
+greedy-decode bookkeeping (previous symbol, per-sequence lengths).
+
+Key fidelity points:
+- input at each step = [token embedding ; previous cell_value]
+  (ref: Dec.py:377-379)
+- residual connections on middle LSTM layers only (ref: Dec.py:417-418)
+- dynamic embedding = FFN([attention context ; LSTM out]) (ref: Dec.py:432-434)
+- length tracking: first emission of EOS-or-PAD at step idx sets
+  length = idx + 1 (ref: Dec.py:334-341)
+- teacher-forced inputs use embedding_dropout; free-running inputs use the
+  raw embedder (ref: Dec.py:166 vs Dec.py:223)
+- attention key projections are hoisted out of the scan (bilinear becomes one
+  [B,1,H]x[B,H,T'] matmul per step).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from stjep_tpu.config import BOS, EOS, PAD, ModelConfig
+from stjep_tpu.ops.attention import attend, attention_init, linear, linear_init, precompute_keys
+from stjep_tpu.ops.lstm import lstm_cell_step, lstm_init
+from stjep_tpu.ops.masks import round_up8
+from stjep_tpu.ops.transformer import dropout
+
+
+def embed(table: jnp.ndarray, ids: jnp.ndarray) -> jnp.ndarray:
+    """Embedding lookup with padding_idx=PAD semantics: the PAD row reads as
+    zero and receives no gradient (torch nn.Embedding(padding_idx=PAD))."""
+    e = jnp.take(table, ids, axis=0)
+    return e * (ids != PAD)[..., None].astype(e.dtype)
+
+
+def embedding_init(key, vocab_size: int, dim: int, dtype=jnp.float32) -> jnp.ndarray:
+    """torch nn.Embedding default init: N(0,1), PAD row zeroed."""
+    t = jax.random.normal(key, (vocab_size, dim), dtype)
+    return t.at[PAD].set(0.0)
+
+
+def las_decoder_init(key, cfg: ModelConfig, dtype=jnp.float32) -> Dict:
+    """Parameter tree mirroring the reference module names
+    (ref: models/Dec.py:70-118) for the checkpoint converter."""
+    E = cfg.enc_embedding_size
+    Ha = cfg.acous_hidden_size
+    Hd = cfg.dim_model  # hidden_size_dec (Seq2seq passes dim_model, ref:152)
+    Hs = cfg.dim_model  # hidden_size_shared (ref: Seq2seq.py:153)
+    V = cfg.enc_vocab_size
+    keys = jax.random.split(key, 5 + cfg.num_unilstm_dec)
+    params: Dict = {
+        "embedder": embedding_init(keys[0], V, E, dtype),
+        "acous_att": attention_init(
+            keys[1], query_size=Hd, key_size=2 * Ha, mode=cfg.acous_att_mode,
+            hidden_size=max(1, 0) or 1, dtype=dtype,
+        ),
+        # FFN [att ; dec] -> shared (no bias, ref: Dec.py:96-97)
+        "acous_ffn": linear_init(keys[2], 2 * Ha + Hd, Hs, bias=False, dtype=dtype),
+        # output projection (bias, ref: Dec.py:98)
+        "acous_out": linear_init(keys[3], Hs, V, bias=True, dtype=dtype),
+    }
+    # residual uni-LSTM stack (ref: Dec.py:109-118)
+    params["dec_l0"] = lstm_init(keys[4], E + Hs, Hd, dtype)
+    for i in range(1, cfg.num_unilstm_dec):
+        params[f"dec_l{i}"] = lstm_init(keys[4 + i], Hd, Hd, dtype)
+    return params
+
+
+class DecodeState(NamedTuple):
+    h: jnp.ndarray  # [n_layers, B, Hd]
+    c: jnp.ndarray  # [n_layers, B, Hd]
+    cell_value: jnp.ndarray  # [B, Hs]
+    prev_c: jnp.ndarray  # [B, 1, Tk] hybrid-attention cumulative mean
+    symbol: jnp.ndarray  # [B] last emitted symbol (greedy)
+    lengths: jnp.ndarray  # [B] int32
+    rng: jax.Array
+
+
+def _dec_lstm_stack(params, cfg, x, h, c, rng, training):
+    """3-layer residual LSTM stack, one step (ref: Dec.py:384-424).
+
+    x: [B, E+Hs]. Returns (out [B, Hd], h', c')."""
+    n = cfg.num_unilstm_dec
+    hs, cs = [], []
+    h0, c0 = lstm_cell_step(params["dec_l0"], x, h[0], c[0])
+    hs.append(h0)
+    cs.append(c0)
+    rng, k = jax.random.split(rng)
+    out = dropout(k, h0, cfg.dropout, deterministic=not training)
+    for i in range(1, n):
+        inp = out
+        hi, ci = lstm_cell_step(params[f"dec_l{i}"], inp, h[i], c[i])
+        hs.append(hi)
+        cs.append(ci)
+        y = hi
+        if i < n - 1:  # residual on middle layers only (ref: Dec.py:417-418)
+            y = y + inp
+        rng, k = jax.random.split(rng)
+        out = dropout(k, y, cfg.dropout, deterministic=not training)
+    return out, jnp.stack(hs), jnp.stack(cs)
+
+
+def las_decoder_step(
+    params: Dict,
+    cfg: ModelConfig,
+    pre_keys: Dict,
+    att_values: jnp.ndarray,  # [B, Tk, 2Ha]
+    att_mask: Optional[jnp.ndarray],  # [B, Tk] True = masked (trailing pad)
+    emb_token: jnp.ndarray,  # [B, E]
+    state: DecodeState,
+    training: bool,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, DecodeState]:
+    """One decode step (ref: Dec.py:344-438 forward_step).
+
+    Returns (cell_value [B,Hs], logp [B,V], attn [B,Tk], new_state)."""
+    rng = state.rng
+    x = jnp.concatenate([emb_token, state.cell_value], axis=-1)
+    rng, k = jax.random.split(rng)
+    dec_out, h, c = _dec_lstm_stack(params, cfg, x, state.h, state.c, k, training)
+
+    query = dec_out[:, None, :]  # [B, 1, Hd]
+    ctx, attn, c_out = attend(
+        params["acous_att"], pre_keys, query, att_values, cfg.acous_att_mode,
+        mask=att_mask, prev_c=state.prev_c,
+    )
+    rng, k = jax.random.split(rng)
+    att_out = dropout(k, ctx, cfg.dropout, deterministic=not training)
+
+    ff_in = jnp.concatenate([att_out, query], axis=-1)  # [B, 1, 2Ha+Hd]
+    cell_value = linear(params["acous_ffn"], ff_in)  # [B, 1, Hs]
+    logits = linear(params["acous_out"], cell_value[:, 0])  # [B, V]
+    logp = jax.nn.log_softmax(logits, axis=-1)
+
+    new_prev_c = c_out if c_out is not None else state.prev_c
+    new_state = state._replace(
+        h=h, c=c, cell_value=cell_value[:, 0], prev_c=new_prev_c, rng=rng
+    )
+    return cell_value[:, 0], logp, attn[:, 0], new_state
+
+
+def _greedy_update(step, logp, lengths):
+    """Greedy symbol + length tracking (ref: Dec.py:320-341)."""
+    symbols = jnp.argmax(logp, axis=-1)
+    eos_b = (symbols == EOS) | (symbols == PAD)
+    update = (lengths > step) & eos_b
+    lengths = jnp.where(update, step + 1, lengths)
+    return symbols, lengths
+
+
+def las_decoder_forward(
+    params: Dict,
+    cfg: ModelConfig,
+    acous_outputs: jnp.ndarray,  # [B, Tk, 2Ha] pyramid output
+    acous_lens: Optional[jnp.ndarray] = None,  # [B] raw frame lengths
+    tgt: Optional[jnp.ndarray] = None,  # [B, L] token ids (teacher forcing)
+    use_teacher_forcing: bool = False,
+    max_seq_len: Optional[int] = None,
+    rng: Optional[jax.Array] = None,
+    is_training: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Full decode over max_seq_len - 1 steps (ref: Dec.py:130-233).
+
+    Returns (sequence_embs [B, L-1, Hs], logps [B, L-1, V],
+             symbols [B, L-1], lengths [B]).
+    """
+    B, Tk, _ = acous_outputs.shape
+    if tgt is None:
+        assert not use_teacher_forcing
+        L = max_seq_len if max_seq_len is not None else cfg.max_seq_len_src
+        tgt = jnp.full((B, L), BOS, dtype=jnp.int32)
+    L = tgt.shape[1]
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+
+    # attention mask over trailing pad of the reduced sequence
+    # (ref: Dec.py:173-179): True = masked out
+    if acous_lens is not None:
+        lens8 = round_up8(acous_lens.astype(jnp.int32)) // 8
+        att_mask = jnp.arange(Tk)[None, :] >= lens8[:, None]
+    else:
+        att_mask = None
+
+    pre_keys = precompute_keys(params["acous_att"], acous_outputs, cfg.acous_att_mode)
+
+    # teacher-forced inputs get embedding_dropout (ref: Dec.py:166)
+    emb_tgt = embed(params["embedder"], tgt)
+    if is_training and cfg.embedding_dropout > 0.0:
+        rng, k = jax.random.split(rng)
+        emb_tgt = dropout(k, emb_tgt, cfg.embedding_dropout, deterministic=False)
+
+    Hd = cfg.dim_model
+    Hs = cfg.dim_model
+    rng, k0 = jax.random.split(rng)
+    init = DecodeState(
+        h=jnp.zeros((cfg.num_unilstm_dec, B, Hd), acous_outputs.dtype),
+        c=jnp.zeros((cfg.num_unilstm_dec, B, Hd), acous_outputs.dtype),
+        cell_value=jnp.zeros((B, Hs), acous_outputs.dtype),
+        prev_c=jnp.zeros((B, 1, Tk), acous_outputs.dtype),
+        symbol=tgt[:, 0],  # BOS
+        lengths=jnp.full((B,), L, dtype=jnp.int32),
+        rng=k0,
+    )
+
+    emb_steps = jnp.swapaxes(emb_tgt[:, : L - 1], 0, 1)  # [L-1, B, E]
+    steps = jnp.arange(L - 1)
+
+    def body(state, xs):
+        step, emb_tf = xs
+        if use_teacher_forcing:
+            emb_in = emb_tf
+        else:
+            # free-running: raw embedder on previous greedy symbol
+            emb_in = embed(params["embedder"], state.symbol)
+        cell_value, logp, attn, state = las_decoder_step(
+            params, cfg, pre_keys, acous_outputs, att_mask, emb_in, state,
+            training=is_training,
+        )
+        symbols, lengths = _greedy_update(step, logp, state.lengths)
+        state = state._replace(symbol=symbols, lengths=lengths)
+        return state, (cell_value, logp, symbols)
+
+    final, (embs, logps, symbols) = jax.lax.scan(body, init, (steps, emb_steps))
+    return (
+        jnp.swapaxes(embs, 0, 1),  # [B, L-1, Hs]
+        jnp.swapaxes(logps, 0, 1),  # [B, L-1, V]
+        jnp.swapaxes(symbols, 0, 1),  # [B, L-1]
+        final.lengths,
+    )

@@ -1,0 +1,415 @@
+"""Composite Seq2seq: LAS (ASR) + Transformer (MT) with embedding passing.
+
+Rebuild of the reference Seq2seq (ref: models/Seq2seq.py:23-914):
+
+- src/tgt embedders, optional shared embedder
+- the static+dynamic concat projection `enc_emb_proj` — ALWAYS created and
+  applied; the reference's flag is dead because the ctor overwrites it with
+  the module (ref: Seq2seq.py:123-125). Preserved as always-on.
+- LAS submodel iff ASR/ST in mode-loadmode; transformer enc/dec + out_tgt iff
+  ST/MT (ref: Seq2seq.py:143-180); AE head shares the LAS output layer
+  (ref: Seq2seq.py:172-173) so it needs no extra params here.
+- EMB_DYN_AVE: the precomputed average dynamic embedding the reference loads
+  from a hardcoded npy path at ctor time (ref: Seq2seq.py:64-66) is an
+  explicit, checkpointed buffer `params['emb_dyn_ave']` here, settable from
+  the gather_emb artifact (translate CLI mode 3).
+
+Each mode's forward is a pure function of (params, batch, rng), jit-compiled
+once per mode; greedy eval runs as a lax.while_loop over a KV-cached
+transformer decoder instead of the reference's O(L^2) full-prefix re-runs
+(ref: Seq2seq.py:577-586).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from stjep_tpu.config import BOS, EOS, PAD, ModelConfig
+from stjep_tpu.models.las import las_forward, las_init
+from stjep_tpu.models.las_decoder import embed, embedding_init
+from stjep_tpu.models.tf_decoder import (
+    UPPERBOUND_SEQ_LEN,
+    tf_decoder_forward,
+    tf_decoder_init,
+    tf_decoder_init_cache,
+    tf_decoder_step,
+)
+from stjep_tpu.models.tf_encoder import tf_encoder_forward, tf_encoder_init
+from stjep_tpu.ops.attention import linear, linear_init
+from stjep_tpu.ops.masks import pad_mask, subsequent_mask
+from stjep_tpu.ops.transformer import dropout
+
+
+def init_seq2seq(key, cfg: ModelConfig, dtype=jnp.float32) -> Dict:
+    keys = jax.random.split(key, 8)
+    params: Dict = {}
+
+    params["enc_embedder"] = embedding_init(
+        keys[0], cfg.enc_vocab_size, cfg.enc_embedding_size, dtype
+    )
+    if cfg.share_embedder:
+        assert cfg.enc_vocab_size == cfg.dec_vocab_size
+        # the reference aliases enc_embedder = dec_embedder
+        # (ref: Seq2seq.py:119-121); pytrees can't alias, so keep one copy
+        # under 'dec_embedder' and alias logically via cfg.share_embedder.
+        params["dec_embedder"] = params["enc_embedder"]
+    else:
+        params["dec_embedder"] = embedding_init(
+            keys[1], cfg.dec_vocab_size, cfg.dec_embedding_size, dtype
+        )
+
+    # static+dynamic -> dim_model, always created (ref: Seq2seq.py:123-125)
+    params["enc_emb_proj"] = linear_init(
+        keys[2], cfg.enc_embedding_size + cfg.dim_model, cfg.dim_model,
+        bias=False, dtype=dtype,
+    )
+    if cfg.dec_emb_proj_flag:
+        params["dec_emb_proj"] = linear_init(
+            keys[3], cfg.dec_embedding_size, cfg.dim_model, bias=False, dtype=dtype
+        )
+
+    if cfg.has_las:
+        params["las"] = las_init(keys[4], cfg, dtype)
+
+    if cfg.has_transformer:
+        params["enc_src"] = tf_encoder_init(keys[5], cfg, dtype)
+        params["dec_tgt"] = tf_decoder_init(keys[6], cfg, dtype)
+        params["out_tgt"] = linear_init(
+            keys[7], cfg.dim_model, cfg.dec_vocab_size, bias=False, dtype=dtype
+        )
+
+    # average dynamic embedding buffer (ref: Seq2seq.py:64-66); non-trainable
+    params["emb_dyn_ave"] = jnp.zeros((cfg.dim_model,), dtype)
+    return params
+
+
+# --------------------------------------------------------------------------
+# shared helpers (ref: Seq2seq.py:183-257)
+# --------------------------------------------------------------------------
+
+
+def _get_src_emb(params, cfg: ModelConfig, src, emb_src_dyn, rng=None,
+                 is_training: bool = False):
+    """(src_mask [B,L,L], emb_src [B,L,D], src_mask_input [B,1,L]).
+
+    ref: Seq2seq.py:183-199. emb_src = proj([static ; dynamic])."""
+    src_mask_input = pad_mask(src)  # [B, 1, L]
+    src_mask = src_mask_input & subsequent_mask(src.shape[-1])  # [B, L, L]
+    emb_static = embed(params["enc_embedder"], src)
+    emb_comb = jnp.concatenate([emb_static, emb_src_dyn], axis=2)
+    if is_training and cfg.embedding_dropout > 0.0 and rng is not None:
+        emb_comb = dropout(rng, emb_comb, cfg.embedding_dropout, False)
+    emb_src = linear(params["enc_emb_proj"], emb_comb)
+    return src_mask, emb_src, src_mask_input
+
+
+def _get_tgt_emb(params, cfg: ModelConfig, tgt, rng=None, is_training=False):
+    """(tgt_mask [B,L,L], emb_tgt [B,L,D]) — ref: Seq2seq.py:202-211."""
+    tgt_mask = pad_mask(tgt) & subsequent_mask(tgt.shape[-1])
+    e = embed(params["dec_embedder"], tgt)
+    if is_training and cfg.embedding_dropout > 0.0 and rng is not None:
+        e = dropout(rng, e, cfg.embedding_dropout, False)
+    if cfg.dec_emb_proj_flag:
+        e = linear(params["dec_emb_proj"], e)
+    return tgt_mask, e
+
+
+def _embed_tgt_token(params, cfg: ModelConfig, token):
+    """Single-position target embedding for incremental decode."""
+    e = embed(params["dec_embedder"], token)
+    if cfg.dec_emb_proj_flag:
+        e = linear(params["dec_emb_proj"], e)
+    return e
+
+
+def _pre_proc_src(src):
+    """Drop initial BOS to align with LAS decoder output
+    (ref: Seq2seq.py:214-219)."""
+    return src[:, 1:]
+
+
+def _encoder_acous(params, cfg: ModelConfig, acous_feats, acous_lens,
+                   tgt=None, is_training=False, teacher_forcing=False,
+                   rng=None, max_seq_len=None):
+    """LAS pass -> (dynamic embs, logps, preds, lengths)
+    (ref: Seq2seq.py:222-230)."""
+    return las_forward(
+        params["las"], cfg, acous_feats, acous_lens=acous_lens, tgt=tgt,
+        use_teacher_forcing=teacher_forcing, max_seq_len=max_seq_len,
+        rng=rng, is_training=is_training,
+    )
+
+
+def _encoder_en(params, cfg, emb_src, src_mask=None, rng=None,
+                is_training=False, max_time: int = UPPERBOUND_SEQ_LEN):
+    out, _ = tf_encoder_forward(
+        params["enc_src"], cfg, emb_src, src_mask=src_mask, rng=rng,
+        is_training=is_training, max_time=max_time,
+    )
+    return out
+
+
+def _decoder_de(params, cfg, emb_tgt, enc_outputs, tgt_mask=None,
+                src_mask=None, rng=None, is_training=False,
+                max_time: int = UPPERBOUND_SEQ_LEN):
+    """(dec_outputs, logits, logps, preds) — ref: Seq2seq.py:249-257."""
+    dec_out, _, _ = tf_decoder_forward(
+        params["dec_tgt"], cfg, emb_tgt, enc_outputs, tgt_mask=tgt_mask,
+        src_mask=src_mask, rng=rng, is_training=is_training, max_time=max_time,
+    )
+    logits = linear(params["out_tgt"], dec_out)
+    logps = jax.nn.log_softmax(logits, axis=2)
+    preds = jnp.argmax(logps, axis=2)
+    return dec_out, logits, logps, preds
+
+
+def _decoder_en(params, emb):
+    """AE head sharing the LAS output layer (ref: Seq2seq.py:240-246,172-173)."""
+    logits = linear(params["las"]["decoder"]["acous_out"], emb)
+    logps = jax.nn.log_softmax(logits, axis=2)
+    preds = jnp.argmax(logps, axis=2)
+    return logits, logps, preds
+
+
+def _length_src_mask(lengths, max_len):
+    """[B] -> [B,1,max_len] bool (ref: Seq2seq.py:494-497)."""
+    return (jnp.arange(max_len)[None, :] < lengths[:, None])[:, None, :]
+
+
+# --------------------------------------------------------------------------
+# forward_train (ref: Seq2seq.py:396-509)
+# --------------------------------------------------------------------------
+
+
+def forward_train(
+    params: Dict,
+    cfg: ModelConfig,
+    mode: str,
+    src: jnp.ndarray,
+    tgt: Optional[jnp.ndarray] = None,
+    acous_feats: Optional[jnp.ndarray] = None,
+    acous_lens: Optional[jnp.ndarray] = None,
+    rng: Optional[jax.Array] = None,
+    is_training: bool = True,
+) -> Dict[str, jnp.ndarray]:
+    """Teacher-forced training forward for mode in {ASR, MT, ST, ASR_ST, AE
+    combinations}. Returns the reference's out_dict keys.
+
+    is_training controls dropout/spec-aug determinism (the reference
+    equivalent of model.train() vs model.eval() around forward_train);
+    the teacher-forcing structure is unaffected."""
+    mode = mode.upper()
+    assert src is not None
+    if "ST" in mode or "ASR" in mode:
+        assert acous_feats is not None
+    if "ST" in mode or "MT" in mode:
+        assert tgt is not None
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    out: Dict[str, jnp.ndarray] = {}
+
+    if "ASR" in mode:
+        rng, k = jax.random.split(rng)
+        emb_src, logps_src, preds_src, lengths = _encoder_acous(
+            params, cfg, acous_feats, acous_lens, tgt=src,
+            is_training=is_training, teacher_forcing=True, rng=k,
+        )
+        out["emb_asr"] = emb_src
+        out["preds_asr"] = preds_src
+        out["logps_asr"] = logps_src
+        out["lengths_asr"] = lengths
+
+    if "AE" in mode:
+        # autoencoder head over the dynamic embedding (ref: Seq2seq.py:240-246)
+        logits_ae, logps_ae, preds_ae = _decoder_en(params, out["emb_asr"])
+        out["logps_ae"] = logps_ae
+        out["preds_ae"] = preds_ae
+
+    if "MT" in mode:
+        rng, k1, k2, k3, k4 = jax.random.split(rng, 5)
+        tgt_mask, emb_tgt = _get_tgt_emb(params, cfg, tgt, rng=k1,
+                                         is_training=is_training)
+        src_trim = _pre_proc_src(src)
+        B, Ls = src_trim.shape
+        dyn = jax.lax.stop_gradient(params["emb_dyn_ave"])
+        emb_dyn = jnp.broadcast_to(dyn[None, None, :], (B, Ls, cfg.dim_model))
+        src_mask, emb_src, src_mask_input = _get_src_emb(
+            params, cfg, src_trim, emb_dyn, rng=k2, is_training=is_training
+        )
+        enc_out = _encoder_en(params, cfg, emb_src, src_mask=src_mask_input,
+                              rng=k3, is_training=is_training)
+        _, _, logps_tgt, preds_tgt = _decoder_de(
+            params, cfg, emb_tgt, enc_out, tgt_mask=tgt_mask,
+            src_mask=src_mask_input, rng=k4, is_training=is_training,
+        )
+        out["emb_mt"] = emb_src
+        out["preds_mt"] = preds_tgt
+        out["logps_mt"] = logps_tgt
+
+    if "ST" in mode:
+        rng, k1, k2, k3, k4, k5 = jax.random.split(rng, 6)
+        tgt_mask, emb_tgt = _get_tgt_emb(params, cfg, tgt, rng=k1,
+                                         is_training=is_training)
+        if "ASR" in mode:
+            emb_src_dyn = out["emb_asr"]
+            lengths = out["lengths_asr"]
+        else:
+            # free-running LAS when training ST without the ASR head
+            # (ref: Seq2seq.py:484-487)
+            emb_src_dyn, _, _, lengths = _encoder_acous(
+                params, cfg, acous_feats, acous_lens, tgt=src,
+                is_training=False, teacher_forcing=False, rng=k5,
+            )
+        src_trim = _pre_proc_src(src)
+        _, emb_src, _ = _get_src_emb(
+            params, cfg, src_trim, emb_src_dyn, rng=k2, is_training=is_training
+        )
+        src_mask_input = _length_src_mask(lengths, emb_src.shape[1])
+        enc_out = _encoder_en(params, cfg, emb_src, src_mask=src_mask_input,
+                              rng=k3, is_training=is_training)
+        _, _, logps_tgt, preds_tgt = _decoder_de(
+            params, cfg, emb_tgt, enc_out, tgt_mask=tgt_mask,
+            src_mask=src_mask_input, rng=k4, is_training=is_training,
+        )
+        out["emb_st"] = emb_src
+        out["preds_st"] = preds_tgt
+        out["logps_st"] = logps_tgt
+
+    return out
+
+
+# --------------------------------------------------------------------------
+# forward_eval: free-running greedy with KV cache (ref: Seq2seq.py:512-638)
+# --------------------------------------------------------------------------
+
+
+class _GreedyState(NamedTuple):
+    i: jnp.ndarray  # loop position (writes slot i, reads token i-1)
+    tokens: jnp.ndarray  # [B, L] emitted prefix; [:,0]=BOS, rest init PAD
+    logps: jnp.ndarray  # [B, L, V] init log(1/V)
+    eos_mask: jnp.ndarray  # [B]
+    cache: object
+
+
+def _greedy_decode(params, cfg: ModelConfig, enc_outputs, mem_mask_b,
+                   length_out: int, max_time: int):
+    """Greedy transformer decode as lax.while_loop with KV cache.
+
+    Replicates _prep_eval/_step_eval buffer semantics
+    (ref: Seq2seq.py:260-304): logps init log(1/V); tokens init PAD with
+    BOS at slot 0; early exit when every row has emitted EOS.
+    """
+    B = enc_outputs.shape[0]
+    V = cfg.dec_vocab_size
+    cache = tf_decoder_init_cache(params["dec_tgt"], cfg, enc_outputs, length_out)
+    tokens = jnp.full((B, length_out), PAD, dtype=jnp.int32).at[:, 0].set(BOS)
+    logps0 = jnp.full((B, length_out, V), jnp.log(1.0 / V), enc_outputs.dtype)
+
+    init = _GreedyState(
+        i=jnp.int32(1),
+        tokens=tokens,
+        logps=logps0,
+        eos_mask=jnp.zeros((B,), bool),
+        cache=cache,
+    )
+
+    def cond(s: _GreedyState):
+        return (s.i < length_out) & (~jnp.all(s.eos_mask))
+
+    def body(s: _GreedyState):
+        pos = s.i - 1
+        tok = jax.lax.dynamic_index_in_dim(s.tokens, pos, axis=1, keepdims=False)
+        emb = _embed_tgt_token(params, cfg, tok)[:, None, :]  # [B,1,D]
+        # prefix PAD keys are blocked like the reference's pad_mask over the
+        # re-embedded prefix (ref: Seq2seq.py:579, 202-205)
+        self_mask_k = s.tokens != PAD
+        dec_out, cache = tf_decoder_step(
+            params["dec_tgt"], cfg, emb, s.cache, pos, mem_mask=mem_mask_b,
+            self_mask_k=self_mask_k, max_time=max_time,
+        )
+        logits = linear(params["out_tgt"], dec_out[:, 0])  # [B, V]
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        pred = jnp.argmax(logp, axis=-1).astype(jnp.int32)
+        tokens = jax.lax.dynamic_update_index_in_dim(s.tokens, pred, s.i, axis=1)
+        logps = jax.lax.dynamic_update_index_in_dim(
+            s.logps, logp.astype(s.logps.dtype), s.i, axis=1
+        )
+        eos_mask = s.eos_mask | (pred == EOS)
+        return _GreedyState(i=s.i + 1, tokens=tokens, logps=logps,
+                            eos_mask=eos_mask, cache=cache)
+
+    final = jax.lax.while_loop(cond, body, init)
+    return final.tokens, final.logps
+
+
+def forward_eval(
+    params: Dict,
+    cfg: ModelConfig,
+    mode: str,
+    src: Optional[jnp.ndarray] = None,
+    acous_feats: Optional[jnp.ndarray] = None,
+    acous_lens: Optional[jnp.ndarray] = None,
+    rng: Optional[jax.Array] = None,
+) -> Dict[str, jnp.ndarray]:
+    """Free-running greedy eval (beam_width=1) — ref: Seq2seq.py:512-638."""
+    mode = mode.upper()
+    out: Dict[str, jnp.ndarray] = {}
+    length_out_tgt = cfg.max_seq_len_tgt
+    max_time = max(UPPERBOUND_SEQ_LEN, length_out_tgt)
+
+    if "ST" in mode or "ASR" in mode:
+        assert acous_feats is not None
+    if "MT" in mode or "AE" in mode:
+        assert src is not None
+
+    if "ASR" in mode:
+        emb_src, logps_src, preds_src, lengths = _encoder_acous(
+            params, cfg, acous_feats, acous_lens, tgt=None, is_training=False,
+            teacher_forcing=False, rng=rng, max_seq_len=cfg.max_seq_len_src,
+        )
+        out["emb_asr"] = emb_src
+        out["preds_asr"] = preds_src
+        out["logps_asr"] = logps_src
+        out["lengths_asr"] = lengths
+
+    if "MT" in mode:
+        src_trim = _pre_proc_src(src)
+        B, Ls = src_trim.shape
+        emb_dyn = jnp.broadcast_to(
+            params["emb_dyn_ave"][None, None, :], (B, Ls, cfg.dim_model)
+        )
+        _, emb_src, src_mask_input = _get_src_emb(params, cfg, src_trim, emb_dyn)
+        enc_out = _encoder_en(params, cfg, emb_src, src_mask=src_mask_input)
+        preds, logps = _greedy_decode(
+            params, cfg, enc_out, src_mask_input[:, 0, :], length_out_tgt, max_time
+        )
+        out["emb_mt"] = emb_src
+        out["preds_mt"] = preds
+        out["logps_mt"] = logps
+
+    if "ST" in mode:
+        if "ASR" in mode:
+            preds_src = out["preds_asr"]
+            emb_src_dyn = out["emb_asr"]
+            lengths = out["lengths_asr"]
+        else:
+            emb_src_dyn, _, preds_src, lengths = _encoder_acous(
+                params, cfg, acous_feats, acous_lens, tgt=None,
+                is_training=False, teacher_forcing=False, rng=rng,
+                max_seq_len=cfg.max_seq_len_src,
+            )
+        # static embeddings looked up from ASR *hypotheses* (ref: Seq2seq.py:608)
+        _, emb_src, _ = _get_src_emb(params, cfg, preds_src, emb_src_dyn)
+        src_mask_input = _length_src_mask(lengths, emb_src.shape[1])
+        enc_out = _encoder_en(params, cfg, emb_src, src_mask=src_mask_input)
+        preds, logps = _greedy_decode(
+            params, cfg, enc_out, src_mask_input[:, 0, :], length_out_tgt, max_time
+        )
+        out["emb_st"] = emb_src
+        out["preds_st"] = preds
+        out["logps_st"] = logps
+
+    return out

@@ -1,0 +1,180 @@
+"""Transformer decoder (ref: models/TFDec.py:19-141) + real KV-cache decode.
+
+Full-sequence teacher-forced apply mirrors the reference. For step decoding
+the reference re-runs the whole prefix every step (its decode_speedup cache is
+implemented but never invoked, ref: TFDec.py:91-123 / SURVEY §2#16); here the
+incremental path caches per-layer self-attention K/V projections and the
+cross-attention memory projections, making each step O(1) in prefix length
+with outputs identical at eval time.
+
+Note the final LayerNorm uses torch's DEFAULT eps (1e-5) — unlike the encoder
+which uses eps=1e-6 (ref: TFDec.py:58 vs TFEnc.py:61). Preserved.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from stjep_tpu.config import ModelConfig
+from stjep_tpu.models.act import act_dec_apply, act_init
+from stjep_tpu.ops.masks import position_signal
+from stjep_tpu.ops.transformer import (
+    KVCache,
+    decoder_layer,
+    decoder_layer_init,
+    decoder_layer_step,
+    layer_norm,
+    layer_norm_init,
+    mha_cross_precompute,
+)
+
+UPPERBOUND_SEQ_LEN = 500  # ref: TFDec.py:35
+
+
+def tf_decoder_init(key, cfg: ModelConfig, dtype=jnp.float32) -> Dict:
+    keys = jax.random.split(key, cfg.dec_layers + 1)
+    if cfg.transformer_type == "universal":
+        layers = [decoder_layer_init(keys[0], cfg.dim_model, cfg.num_heads,
+                                     cfg.dim_feedforward, dtype)]
+        params: Dict = {"layers": layers}
+        if cfg.act:
+            params["act_fn"] = act_init(keys[-1], cfg.dim_model, dtype)
+    elif cfg.transformer_type == "standard":
+        layers = [
+            decoder_layer_init(keys[i], cfg.dim_model, cfg.num_heads,
+                               cfg.dim_feedforward, dtype)
+            for i in range(cfg.dec_layers)
+        ]
+        params = {"layers": layers}
+    else:
+        raise ValueError(f"not implemented transformer type {cfg.transformer_type}")
+    params["norm"] = layer_norm_init(cfg.dim_model, dtype)
+    return params
+
+
+def _layer_params(params: Dict, cfg: ModelConfig, i: int) -> Dict:
+    if cfg.transformer_type == "universal":
+        return params["layers"][0]
+    return params["layers"][i]
+
+
+def tf_decoder_forward(
+    params: Dict,
+    cfg: ModelConfig,
+    tgt: jnp.ndarray,  # [B, L, D] embedded target
+    memory: jnp.ndarray,  # [B, Lk, D] encoder outputs
+    tgt_mask: Optional[jnp.ndarray] = None,  # [B, L, L]; 0 = blocked
+    src_mask: Optional[jnp.ndarray] = None,  # [B, 1, Lk]
+    rng: Optional[jax.Array] = None,
+    is_training: bool = False,
+    max_time: int = UPPERBOUND_SEQ_LEN,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Full-sequence decode. Returns (out [B, L, D], att_self, att_cross)."""
+    L = tgt.shape[1]
+    time_sig = position_signal(max(max_time, L), cfg.dim_model)
+    layer_sig = position_signal(cfg.dec_layers, cfg.dim_model)
+    deterministic = not is_training
+
+    if cfg.act and cfg.transformer_type == "universal":
+        max_hop = cfg.act_max_hop or cfg.dec_layers
+        x, layer_map = act_dec_apply(
+            params["act_fn"], _layer_params(params, cfg, 0), cfg, tgt, memory,
+            tgt_mask, src_mask, time_sig, layer_sig, max_hop,
+            rng=rng, is_training=is_training,
+        )
+        x = layer_norm(params["norm"], x, eps=1e-5)
+        return x, layer_map, layer_map
+
+    x = tgt + time_sig[:, :L, :].astype(tgt.dtype)
+    att_self = att_cross = None
+    for layer in range(cfg.dec_layers):
+        if cfg.transformer_type == "universal":
+            x = x + jnp.broadcast_to(
+                layer_sig[:, layer, :][:, None, :], x.shape
+            ).astype(x.dtype)
+        if rng is not None:
+            rng, k = jax.random.split(rng)
+        else:
+            k = None
+        x, att_self, att_cross = decoder_layer(
+            _layer_params(params, cfg, layer), x, memory, cfg.num_heads,
+            self_mask=tgt_mask, cross_mask=src_mask,
+            rng=k, dropout_rate=cfg.dropout, deterministic=deterministic,
+        )
+    x = layer_norm(params["norm"], x, eps=1e-5)  # torch default eps, ref:58
+    return x, att_self, att_cross
+
+
+# --------------------------------------------------------------------------
+# Incremental decode (eval): per-layer KV caches in a while/scan carry
+# --------------------------------------------------------------------------
+
+
+class TFDecCache(NamedTuple):
+    self_k: jnp.ndarray  # [n_layers, B, n_head, Lmax, d_k]
+    self_v: jnp.ndarray
+    mem_k: jnp.ndarray  # [n_layers, B, n_head, Lk, d_k]
+    mem_v: jnp.ndarray
+
+
+def tf_decoder_init_cache(
+    params: Dict, cfg: ModelConfig, memory: jnp.ndarray, max_len: int
+) -> TFDecCache:
+    """Preallocate self-attn caches and precompute cross-attn K/V."""
+    B = memory.shape[0]
+    n_layers = cfg.dec_layers
+    d_k = cfg.d_k
+    mem_ks, mem_vs = [], []
+    for i in range(n_layers):
+        kv = mha_cross_precompute(
+            _layer_params(params, cfg, i)["encdec_attn"], memory, cfg.num_heads
+        )
+        mem_ks.append(kv.k)
+        mem_vs.append(kv.v)
+    zeros = jnp.zeros((n_layers, B, cfg.num_heads, max_len, d_k), memory.dtype)
+    return TFDecCache(
+        self_k=zeros,
+        self_v=zeros,
+        mem_k=jnp.stack(mem_ks),
+        mem_v=jnp.stack(mem_vs),
+    )
+
+
+def tf_decoder_step(
+    params: Dict,
+    cfg: ModelConfig,
+    x_new: jnp.ndarray,  # [B, 1, D] embedded token at position `pos`
+    cache: TFDecCache,
+    pos: jnp.ndarray,  # scalar int32
+    mem_mask: Optional[jnp.ndarray] = None,  # [B, Lk] True = attendable
+    self_mask_k: Optional[jnp.ndarray] = None,  # [B, Lmax] True = attendable
+    max_time: int = UPPERBOUND_SEQ_LEN,
+) -> Tuple[jnp.ndarray, TFDecCache]:
+    """One position through all layers with KV caches (eval only).
+
+    self_mask_k masks prefix keys (e.g. PAD tokens a greedy row emitted),
+    matching the reference's pad_mask over the re-embedded prefix
+    (ref: Seq2seq.py:202-205). Returns (out [B, 1, D], new cache)."""
+    time_sig = position_signal(max_time, cfg.dim_model)
+    layer_sig = position_signal(cfg.dec_layers, cfg.dim_model)
+    x = x_new + jax.lax.dynamic_slice_in_dim(time_sig, pos, 1, axis=1).astype(
+        x_new.dtype
+    )
+    self_k, self_v = cache.self_k, cache.self_v
+    for layer in range(cfg.dec_layers):
+        if cfg.transformer_type == "universal":
+            x = x + layer_sig[:, layer, :][:, None, :].astype(x.dtype)
+        lp = _layer_params(params, cfg, layer)
+        layer_cache = KVCache(k=self_k[layer], v=self_v[layer])
+        mem_kv = KVCache(k=cache.mem_k[layer], v=cache.mem_v[layer])
+        x, layer_cache = decoder_layer_step(
+            lp, x, layer_cache, mem_kv, pos, cfg.num_heads, mem_mask=mem_mask,
+            self_mask_k=self_mask_k,
+        )
+        self_k = self_k.at[layer].set(layer_cache.k)
+        self_v = self_v.at[layer].set(layer_cache.v)
+    x = layer_norm(params["norm"], x, eps=1e-5)
+    return x, cache._replace(self_k=self_k, self_v=self_v)

@@ -295,10 +295,11 @@ def decoder_layer_step(
     pos: jnp.ndarray,
     n_head: int,
     mem_mask: Optional[jnp.ndarray] = None,
+    self_mask_k: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, KVCache]:
     """One incremental decode position through a decoder layer (eval only)."""
     y, self_cache = mha_self_step(
-        params["decslf_attn"], x_new, self_cache, pos, n_head
+        params["decslf_attn"], x_new, self_cache, pos, n_head, mask_k=self_mask_k
     )
     y = mha_cross_step(params["encdec_attn"], y, mem_kv, n_head, mem_mask=mem_mask)
     y = ffn(params["pos_ffn"], y, deterministic=True)
