@@ -1,0 +1,177 @@
+"""Batched beam search fully on device: lax.while_loop + KV-cache reorder.
+
+Replicates the reference's k^2 -> k beam update exactly
+(ref: models/Seq2seq.py:307-393 _prep_translate/_step_translate), including
+its quirks, so decode output lines match token-for-token:
+
+- EOS freezing: a finished beam contributes exactly one candidate (column 0
+  gets +0, the rest -1e9) (ref: Seq2seq.py:361-365)
+- length penalty: candidates are ranked by score / len_map^penalty, then the
+  kept score is multiplied back by the PRE-selection slot's len_map^penalty
+  (the reference multiplies in the old beam order, ref: Seq2seq.py:371)
+- len_map / eos_mask are SLOT-indexed and are NOT reordered on beam
+  reselection (the reference never gathers them, ref: Seq2seq.py:383-387)
+- prefix back-copy on reselection (ref: Seq2seq.py:378) becomes a gather of
+  both the token buffer and the per-layer self-attention KV caches — the
+  reference gets this implicitly by re-running the whole prefix every step,
+  at O(L^2) cost; here each step is O(1) in prefix length.
+
+The final output equals the reference's `preds.reshape(b, -1)[:, :max_len]`
+after detokenisation (which stops at the first </s>): we return beam 0 (the
+top-scoring beam) per batch, PAD-padded.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from stjep_tpu.config import BOS, EOS, PAD, ModelConfig
+from stjep_tpu.models.tf_decoder import (
+    TFDecCache,
+    tf_decoder_init_cache,
+    tf_decoder_step,
+)
+from stjep_tpu.ops.attention import linear
+
+
+class BeamState(NamedTuple):
+    i: jnp.ndarray  # next slot to write (starts 1)
+    preds: jnp.ndarray  # [B*K, L] tokens; [:,0]=BOS, rest init PAD
+    scores: jnp.ndarray  # [B*K] cumulative scores (scores_expand)
+    eos_mask: jnp.ndarray  # [B*K] bool, slot-indexed
+    len_map: jnp.ndarray  # [B*K] float, slot-indexed
+    cache: TFDecCache
+
+
+def _expand_beam(x: jnp.ndarray, beam_width: int) -> jnp.ndarray:
+    """a b c -> aaa bbb ccc on the batch axis (ref: Seq2seq.py:318-331)."""
+    B = x.shape[0]
+    reps = (1, beam_width) + (1,) * (x.ndim - 1)
+    return jnp.tile(x[:, None], reps).reshape((B * beam_width,) + x.shape[1:])
+
+
+def _decode_pos(params, cfg, state_tokens, cache, pos, mem_mask, max_time):
+    """Embed token at `pos`, run one KV-cached decoder step, return logp."""
+    from stjep_tpu.models.seq2seq import _embed_tgt_token
+
+    tok = jax.lax.dynamic_index_in_dim(state_tokens, pos, axis=1, keepdims=False)
+    emb = _embed_tgt_token(params, cfg, tok)[:, None, :]
+    self_mask_k = state_tokens != PAD
+    dec_out, cache = tf_decoder_step(
+        params["dec_tgt"], cfg, emb, cache, pos, mem_mask=mem_mask,
+        self_mask_k=self_mask_k, max_time=max_time,
+    )
+    logits = linear(params["out_tgt"], dec_out[:, 0])
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    return logp, cache
+
+
+def beam_search(
+    params: Dict,
+    cfg: ModelConfig,
+    enc_outputs: jnp.ndarray,  # [B, Lk, D]
+    mem_mask_b: Optional[jnp.ndarray],  # [B, Lk] bool True=attend, or None
+    beam_width: int,
+    penalty_factor: float,
+    max_seq_len: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Returns (preds [B, max_seq_len] best-beam tokens BOS-first PAD-padded,
+    scores [B])."""
+    B = enc_outputs.shape[0]
+    K = beam_width
+    BK = B * K
+
+    enc_expand = _expand_beam(enc_outputs, K)  # [B*K, Lk, D]
+    mem_mask = _expand_beam(mem_mask_b, K) if mem_mask_b is not None else None
+    max_time = max(max_seq_len, 500)
+
+    cache = tf_decoder_init_cache(params["dec_tgt"], cfg, enc_expand, max_seq_len)
+    preds = jnp.full((BK, max_seq_len), PAD, jnp.int32).at[:, 0].set(BOS)
+    batch_offset = (jnp.arange(B) * (K * K))[:, None]  # [B,1]
+
+    def topk_step(state: BeamState):
+        logp, cache = _decode_pos(
+            params, cfg, state.preds, state.cache, state.i - 1, mem_mask, max_time
+        )
+        score_k, pred_k = jax.lax.top_k(logp, K)  # [B*K, K]
+        return score_k, pred_k.astype(jnp.int32), cache
+
+    def finish_step(state, pred_select, scores, preds, cache):
+        """Common tail: eos/len bookkeeping (ref: Seq2seq.py:382-391)."""
+        eos_mask = state.eos_mask | (pred_select == EOS)
+        len_map = state.len_map + jnp.where(eos_mask, 0.0, 1.0)
+        return BeamState(
+            i=state.i + 1, preds=preds, scores=scores, eos_mask=eos_mask,
+            len_map=len_map, cache=cache,
+        )
+
+    # ---- step i == 1: keep beam 0's K candidates (ref: Seq2seq.py:349-356)
+    state = BeamState(
+        i=jnp.int32(1), preds=preds,
+        scores=jnp.zeros((BK,), jnp.float32),
+        eos_mask=jnp.zeros((BK,), bool),
+        len_map=jnp.ones((BK,), jnp.float32),
+        cache=cache,
+    )
+    score_k, pred_k, cache1 = topk_step(state)
+    score_sel = score_k.reshape(B, -1)[:, :K].reshape(-1)
+    pred_sel = pred_k.reshape(B, -1)[:, :K].reshape(-1)
+    scores = state.scores + score_sel
+    preds1 = state.preds.at[:, 1].set(pred_sel)
+    state = finish_step(state, pred_sel, scores, preds1, cache1)
+
+    # ---- steps i >= 2
+    def cond(s: BeamState):
+        return (s.i < max_seq_len) & (~jnp.all(s.eos_mask))
+
+    def body(s: BeamState):
+        score_k, pred_k, cache = topk_step(s)
+
+        # k^2 -> k selection (ref: Seq2seq.py:358-380)
+        eos_col = jnp.zeros((BK, K), bool).at[:, 1:].set(s.eos_mask[:, None])
+        score_masked = jnp.where(s.eos_mask[:, None], 0.0, score_k)
+        score_masked = jnp.where(eos_col, -1e9, score_masked)
+        score_temp = s.scores[:, None] + score_masked
+        score_temp = score_temp / (s.len_map[:, None] ** penalty_factor)
+
+        score_sel, pos = jax.lax.top_k(score_temp.reshape(B, K * K), K)  # [B,K]
+        # the reference multiplies back by the OLD slot-order penalty
+        # (ref: Seq2seq.py:371)
+        scores = score_sel.reshape(-1) * (s.len_map**penalty_factor)
+
+        pos_g = pos + batch_offset  # global candidate index [B,K]
+        r_idx = (pos_g // K).reshape(-1)  # source row in [B*K)
+        c_idx = (pos_g % K).reshape(-1)
+        pred_sel = pred_k[r_idx, c_idx]
+
+        # prefix back-copy + KV-cache reorder
+        preds = s.preds[r_idx]
+        preds = jax.lax.dynamic_update_index_in_dim(preds, pred_sel, s.i, axis=1)
+        cache = cache._replace(
+            self_k=cache.self_k[:, r_idx], self_v=cache.self_v[:, r_idx]
+        )
+        return finish_step(s, pred_sel, scores, preds, cache)
+
+    final = jax.lax.while_loop(cond, body, state)
+
+    preds_out = final.preds.reshape(B, K, max_seq_len)[:, 0, :]
+    scores_out = final.scores.reshape(B, K)[:, 0]
+    return preds_out, scores_out
+
+
+def greedy_search(
+    params: Dict,
+    cfg: ModelConfig,
+    enc_outputs: jnp.ndarray,
+    mem_mask_b: Optional[jnp.ndarray],
+    max_seq_len: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """beam_width == 1 fast path sharing the greedy while_loop."""
+    from stjep_tpu.models.seq2seq import _greedy_decode
+
+    max_time = max(max_seq_len, 500)
+    return _greedy_decode(params, cfg, enc_outputs, mem_mask_b, max_seq_len,
+                          max_time)

@@ -1,0 +1,571 @@
+"""Trainers: one pjit-compiled train step per mode + host control loop.
+
+The reference's four near-identical trainers (ref: trainer/trainer_asr.py,
+trainer_mt.py, trainer_st.py, trainer_asr_st.py) collapse into one Trainer
+parameterised by mode; thin subclasses keep the reference class names.
+
+What moved on-device: the whole grad-accumulation loop (the reference's
+host-side minibatch partition, ref: trainer_asr.py:219-275) runs as a
+lax.scan inside a single jitted step — per-minibatch forward, masked NLL,
+grad accumulation, global-norm clip, Adam update, LR write. The host keeps
+what must stay host-side: epoch shuffling, checkpoint-on-improve, rollback +
+LR-halving + early stop (ref: trainer_asr.py:288-513).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import sys
+import time
+from functools import partial
+from typing import Dict, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from stjep_tpu.config import PAD, ModelConfig
+from stjep_tpu.models.seq2seq import forward_eval, forward_train
+from stjep_tpu.ops.losses import nll_loss_masked, normalise
+from stjep_tpu.ops.masks import round_up8
+from stjep_tpu.train.checkpoint import Checkpoint
+from stjep_tpu.train.optim import make_optimizer, reference_lr, set_lr
+from stjep_tpu.train.policies import apply_load_mode, trainable_mask
+from stjep_tpu.utils.metrics import corpus_bleu
+from stjep_tpu.utils.misc import add2corpus, detok_words, get_memory_alloc
+from stjep_tpu.utils import misc as _misc
+
+logging.basicConfig(level=logging.INFO)
+
+
+class _ScalarWriter:
+    """TensorBoard writer when torch is importable, JSONL always."""
+
+    def __init__(self, log_dir: str):
+        os.makedirs(log_dir, exist_ok=True)
+        self._jsonl = open(os.path.join(log_dir, "scalars.jsonl"), "a")
+        self._tb = None
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+
+            self._tb = SummaryWriter(log_dir=log_dir)
+        except Exception:
+            pass
+
+    def add_scalar(self, tag: str, value, global_step: int = 0):
+        import json
+
+        self._jsonl.write(
+            json.dumps({"tag": tag, "value": float(value), "step": int(global_step)})
+            + "\n"
+        )
+        self._jsonl.flush()
+        if self._tb is not None:
+            self._tb.add_scalar(tag, value, global_step=global_step)
+
+
+class Trainer:
+    """Base trainer (ref: trainer/trainer_base.py:23-443)."""
+
+    MODE = "ASR"  # overridden by subclasses
+    DATA_KEY = "asr"
+
+    def __init__(
+        self,
+        expt_dir="experiment",
+        load_dir=None,
+        load_mode="null",
+        load_freeze=False,
+        checkpoint_every=100,
+        print_every=100,
+        batch_size=256,
+        use_gpu=False,
+        gpu_id=0,
+        learning_rate=0.00001,
+        learning_rate_init=0.0005,
+        lr_warmup_steps=16000,
+        max_grad_norm=1.0,
+        eval_with_mask=True,
+        max_count_no_improve=2,
+        max_count_num_rollback=2,
+        keep_num=1,
+        normalise_loss=True,
+        loss_coeff=None,
+        minibatch_partition=1,
+        seed=333,
+    ):
+        self.checkpoint_every = checkpoint_every
+        self.print_every = print_every
+        self.loss_coeff = loss_coeff or {"nll_asr": 1.0, "nll_mt": 1.0, "nll_st": 1.0}
+        self.learning_rate = learning_rate
+        self.learning_rate_init = learning_rate_init
+        self.lr_warmup_steps = lr_warmup_steps
+        if self.lr_warmup_steps == 0:
+            assert self.learning_rate == self.learning_rate_init
+        self.max_grad_norm = max_grad_norm
+        self.eval_with_mask = eval_with_mask
+        self.max_count_no_improve = max_count_no_improve
+        self.max_count_num_rollback = max_count_num_rollback
+        self.keep_num = keep_num
+        self.normalise_loss = normalise_loss
+        if not os.path.isabs(expt_dir):
+            expt_dir = os.path.join(os.getcwd(), expt_dir)
+        self.expt_dir = expt_dir
+        os.makedirs(self.expt_dir, exist_ok=True)
+        self.load_dir = load_dir
+        self.load_mode = load_mode or "null"
+        self.load_freeze = bool(load_freeze)
+        self.logger = logging.getLogger(__name__)
+        self.writer = _ScalarWriter(self.expt_dir)
+        self.minibatch_partition = max(1, minibatch_partition)
+        self.batch_size = batch_size
+        self.minibatch_size = max(1, int(self.batch_size / self.minibatch_partition))
+        self.seed = seed
+        self._root_rng = jax.random.PRNGKey(seed)
+        self._step_fn = None
+        self._eval_fn_cache: Dict = {}
+        self._lr_curr = learning_rate_init
+
+    # ----------------------------------------------------------- batches
+
+    def _device_batch(self, item: Dict[str, np.ndarray], pad_to: int):
+        """Pad the macro batch to a fixed row count (static shapes) and
+        reshape to [n_mini, mini, ...]. Padded rows are all-PAD -> masked out
+        of every loss."""
+        B = item["srcid"].shape[0]
+        n_rows = pad_to
+        out = {}
+        for k, v in item.items():
+            pad_width = [(0, n_rows - B)] + [(0, 0)] * (v.ndim - 1)
+            out[k] = np.pad(v, pad_width) if B < n_rows else v
+        mini = self.minibatch_size
+        n_mini = n_rows // mini
+        for k, v in out.items():
+            out[k] = v.reshape((n_mini, mini) + v.shape[1:])
+        # reference divisor: ceil(real_B / mini) (ref: trainer_asr.py:215-216)
+        n_real = B // mini + int(B % mini > 0)
+        return out, float(n_real)
+
+    # -------------------------------------------------------- train step
+
+    def _head_losses(self, cfg: ModelConfig, out, mb, inv_n):
+        """Per-head masked NLL with the reference's normalise/coeff/n_mini
+        scaling. Returns (total, report_dict)."""
+        losses = {"nll_loss_en": 0.0, "nll_loss_de": 0.0}
+        total = 0.0
+        mode = self.MODE
+
+        def head(logps, targets, coeff):
+            V = logps.shape[-1]
+            mask = targets != PAD
+            s, norm = nll_loss_masked(
+                logps.reshape(-1, V), targets.reshape(-1), mask.reshape(-1)
+            )
+            if not self.eval_with_mask:
+                s = -jnp.sum(
+                    jnp.take_along_axis(
+                        logps.reshape(-1, V), targets.reshape(-1)[:, None], axis=1
+                    )
+                )
+                norm = jnp.asarray(targets.size, jnp.float32)
+            loss = normalise(s, norm) if self.normalise_loss else s
+            return loss * coeff * inv_n
+
+        if "ASR" in mode:
+            coeff = self.loss_coeff["nll_asr"] if mode == "ASR_ST" else 1.0
+            l_en = head(out["logps_asr"], mb["srcid"][:, 1:], coeff)
+            losses["nll_loss_en"] = l_en
+            total = total + l_en
+        if mode == "MT":
+            l_de = head(
+                out["logps_mt"][:, :-1, :], mb["tgtid"][:, 1:],
+                self.loss_coeff["nll_mt"],
+            )
+            losses["nll_loss_de"] = l_de
+            total = total + l_de
+        if "ST" in mode:
+            l_de = head(
+                out["logps_st"][:, :-1, :], mb["tgtid"][:, 1:],
+                self.loss_coeff["nll_st"],
+            )
+            losses["nll_loss_de"] = l_de
+            total = total + l_de
+        return total, losses
+
+    def _build_step(self, cfg: ModelConfig, tx):
+        mode = self.MODE
+
+        def loss_fn(params, mb, rng, inv_n):
+            kwargs = dict(src=mb["srcid"])
+            if "tgtid" in mb:
+                kwargs["tgt"] = mb["tgtid"]
+            if "acous_feat" in mb:
+                kwargs["acous_feats"] = mb["acous_feat"]
+                kwargs["acous_lens"] = mb["acouslen"]
+            out = forward_train(params, cfg, mode, rng=rng, is_training=True,
+                                **kwargs)
+            return self._head_losses(cfg, out, mb, inv_n)
+
+        def train_step(params, opt_state, macro, rng, lr, inv_n):
+            n_mini = jax.tree_util.tree_leaves(macro)[0].shape[0]
+            rngs = jax.random.split(rng, n_mini)
+
+            def body(carry, xs):
+                grads_acc, losses_acc = carry
+                mb, k = xs
+                (_, losses), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True
+                )(params, mb, k, inv_n)
+                grads_acc = jax.tree_util.tree_map(jnp.add, grads_acc, grads)
+                losses_acc = jax.tree_util.tree_map(jnp.add, losses_acc, losses)
+                return (grads_acc, losses_acc), None
+
+            zero_g = jax.tree_util.tree_map(jnp.zeros_like, params)
+            zero_l = {"nll_loss_en": jnp.float32(0), "nll_loss_de": jnp.float32(0)}
+            (grads, losses), _ = jax.lax.scan(body, (zero_g, zero_l), (macro, rngs))
+
+            opt_state = set_lr(opt_state, lr)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, losses
+
+        return jax.jit(train_step, donate_argnums=(0, 1))
+
+    def _train_batch(self, cfg, params, opt_state, item, step):
+        macro, n_real = self._device_batch(item, self.batch_size)
+        if self._step_fn is None:
+            self._step_fn = self._build_step(cfg, self._tx)
+        self._root_rng, k = jax.random.split(self._root_rng)
+        lr = self._current_lr(step)
+        params, opt_state, losses = self._step_fn(
+            params, opt_state, macro, k, jnp.float32(lr), jnp.float32(1.0 / n_real)
+        )
+        return params, opt_state, {
+            k2: float(v) for k2, v in losses.items()
+        }
+
+    def _current_lr(self, step: int) -> float:
+        if self.lr_warmup_steps != 0:
+            lr = float(
+                reference_lr(step, self.learning_rate_init, self.learning_rate,
+                             self.lr_warmup_steps)
+            )
+        else:
+            lr = self._lr_curr
+        self._lr_curr = lr
+        return lr
+
+    # --------------------------------------------------------------- eval
+
+    def _eval_forward(self, cfg: ModelConfig, kind: str):
+        if kind not in self._eval_fn_cache:
+            self._eval_fn_cache[kind] = jax.jit(
+                partial(forward_eval, cfg=cfg, mode=kind)
+            )
+        return self._eval_fn_cache[kind]
+
+    def _nll_np(self, logps, targets, mask, coeff=1.0):
+        picked = np.take_along_axis(
+            np.asarray(logps).reshape(-1, logps.shape[-1]),
+            np.asarray(targets).reshape(-1, 1), axis=1,
+        )[:, 0]
+        m = np.asarray(mask).reshape(-1)
+        s = -(picked * m).sum()
+        if self.normalise_loss:
+            s = s / max(m.sum(), 1)
+        return coeff * s
+
+    def _evaluate_batches(self, cfg, params, dataset):
+        """Free-running dev evaluation (ref: trainer_*.py:_evaluate_batches)."""
+        mode = self.MODE
+        resloss_en = resloss_de = 0.0
+        resnorm = 0
+        match_en = total_en = match_de = total_de = 0
+        hyp_en, ref_en, hyp_de, ref_de = [], [], [], []
+        out_count = 0
+        fwd = self._eval_forward(cfg, mode)
+
+        for item in dataset.iter_batches():
+            B = item["srcid"].shape[0]
+            for st in range(0, B, self.minibatch_size):
+                ed = min(st + self.minibatch_size, B)
+                kwargs = {}
+                if "acous_feat" in item:
+                    alen = int(round_up8(max(1, int(max(item["acouslen"][st:ed])))))
+                    alen = min(alen, item["acous_feat"].shape[1])
+                    kwargs["acous_feats"] = jnp.asarray(
+                        item["acous_feat"][st:ed, :alen]
+                    )
+                    kwargs["acous_lens"] = jnp.asarray(item["acouslen"][st:ed])
+                if mode in ("MT",):
+                    kwargs["src"] = jnp.asarray(item["srcid"][st:ed])
+                out = fwd(params, **kwargs)
+                out = jax.device_get(out)
+
+                src_ids = item["srcid"][st:ed]
+                npm_src = src_ids != PAD
+                if "ASR" in mode:
+                    logps = out["logps_asr"]
+                    preds = out["preds_asr"]
+                    resloss_en += self._nll_np(
+                        logps, src_ids[:, 1:], npm_src[:, 1:]
+                    )
+                    m = npm_src[:, 1:]
+                    match_en += int(((preds == src_ids[:, 1:]) & m).sum())
+                    total_en += int(m.sum())
+                    out_count = self._print_sample(
+                        out_count, src_ids, dataset.src_id2word, preds, "-asr")
+                    hyp_en, ref_en = add2corpus(
+                        preds, src_ids, dataset.src_id2word, hyp_en, ref_en,
+                        use_type="word",
+                    )
+                if mode == "MT" or "ST" in mode:
+                    key = "mt" if mode == "MT" else "st"
+                    coeff = self.loss_coeff[f"nll_{key}"]
+                    tgt_ids = item["tgtid"][st:ed]
+                    npm_tgt = tgt_ids != PAD
+                    logps = out[f"logps_{key}"][:, 1:, :]
+                    preds = out[f"preds_{key}"][:, 1:]
+                    L = tgt_ids.shape[1] - 1
+                    resloss_de += self._nll_np(
+                        logps[:, :L], tgt_ids[:, 1:], npm_tgt[:, 1:], coeff=coeff
+                    )
+                    m = npm_tgt[:, 1:]
+                    match_de += int(((preds[:, :L] == tgt_ids[:, 1:]) & m).sum())
+                    total_de += int(m.sum())
+                    out_count = self._print_sample(
+                        out_count, tgt_ids, dataset.tgt_id2word, preds,
+                        f"-{key}")
+                    hyp_de, ref_de = add2corpus(
+                        preds, tgt_ids, dataset.tgt_id2word, hyp_de, ref_de,
+                        use_type=dataset.use_type,
+                    )
+                resnorm += 1
+
+        losses = {
+            "nll_loss_en": resloss_en / max(resnorm, 1),
+            "nll_loss_de": resloss_de / max(resnorm, 1),
+        }
+        metrics = {
+            "accuracy_en": match_en / total_en if total_en else 0.0,
+            "bleu_en": corpus_bleu(hyp_en, ref_en) if hyp_en else 0.0,
+            "accuracy_de": match_de / total_de if total_de else 0.0,
+            "bleu_de": corpus_bleu(hyp_de, ref_de) if hyp_de else 0.0,
+        }
+        return losses, metrics
+
+    def _print_sample(self, out_count, ids, id2word, seqlist, tail=""):
+        """First-3 REF/HYP printing (ref: trainer_base.py:108-118)."""
+        if out_count < 3 and len(ids) > 0:
+            ref_words = _misc._convert_to_words_batchfirst(ids[:, 1:], id2word)
+            hyp_words = _misc._convert_to_words_batchfirst(seqlist, id2word)
+            sys.stdout.write("REF{}: {}\n".format(tail, " ".join(ref_words[0])))
+            sys.stdout.write("HYP{}: {}\n".format(tail, " ".join(hyp_words[0])))
+            out_count += 1
+        return out_count
+
+    # ------------------------------------------------------------- train
+
+    def train(self, train_sets, model, num_epochs=5, optimizer=None,
+              dev_sets=None, grab_memory=False):
+        """Main entry (ref: trainer_base.py:169-443).
+
+        model: (cfg: ModelConfig, params) tuple. Returns (cfg, params)."""
+        cfg, params = model
+        start_epoch, step = 1, 0
+        opt_state = None
+
+        if "resume" in self.load_mode or "restart" in self.load_mode:
+            self.logger.info("resuming %s ...", self.load_dir)
+            mask = trainable_mask(params, lambda n: False)
+            if self.load_mode == "ASR-resume" and self.load_freeze:
+                mask = trainable_mask(params, lambda n: n.startswith("las."))
+            self._tx = make_optimizer(self.max_grad_norm, mask)
+            opt_template = self._tx.init(params)
+            ckpt = Checkpoint.load(self.load_dir, params_template=params,
+                                   opt_state_template=opt_template)
+            params = ckpt.params
+            opt_state = ckpt.opt_state if ckpt.opt_state is not None else (
+                self._tx.init(params))
+            if "resume" in self.load_mode:
+                start_epoch, step = ckpt.epoch, ckpt.step
+        else:
+            loaded = None
+            if self.load_dir is not None:
+                self.logger.info("loading %s (mode=%s) ...", self.load_dir,
+                                 self.load_mode)
+                loaded = Checkpoint.load(self.load_dir).params
+            params, mask = apply_load_mode(
+                params, loaded, self.load_mode, self.load_freeze, self.logger
+            )
+            self._tx = make_optimizer(self.max_grad_norm, mask)
+            opt_state = self._tx.init(params)
+
+        self._train_epoches(train_sets, cfg, params, opt_state, num_epochs,
+                            start_epoch, step, dev_sets=dev_sets)
+        return cfg, self._final_params
+
+    def _train_epoches(self, train_sets, cfg, params, opt_state, n_epochs,
+                       start_epoch, start_step, dev_sets=None):
+        train_set = train_sets[self.DATA_KEY]
+        dev_set = (dev_sets or {}).get(self.DATA_KEY)
+        log = self.logger
+
+        print_loss_en = print_loss_de = 0.0
+        step, step_elapsed = start_step, 0
+        prev_acc = prev_bleu = 0.0
+        count_no_improve = count_num_rollback = 0
+        ckpt = None
+        early_stop = False
+
+        for epoch in range(start_epoch, n_epochs + 1):
+            if early_stop:
+                break
+            lr = self._current_lr(max(step, 1))
+            log.info("epoch:%d lr: %s", epoch, lr)
+            log.info("--- construct train set ---")
+            train_set.construct_batches(is_train=True)
+            if dev_set is not None:
+                dev_set.construct_batches(is_train=False)
+
+            steps_per_epoch = len(train_set)
+            total_steps = steps_per_epoch * n_epochs
+            log.info("steps_per_epoch %d", steps_per_epoch)
+            mem_kb, mem_mb, _ = get_memory_alloc()
+            log.info("Memory used: %.2f MB", mem_mb)
+            self.writer.add_scalar("Memory_MB", round(mem_mb, 2), global_step=step)
+
+            for idx in range(steps_per_epoch):
+                item = train_set.materialise_batch(idx)
+                step += 1
+                step_elapsed += 1
+                params, opt_state, losses = self._train_batch(
+                    cfg, params, opt_state, item, step
+                )
+                print_loss_en += losses.get("nll_loss_en", 0.0)
+                print_loss_de += losses.get("nll_loss_de", 0.0)
+
+                if step % self.print_every == 0 and step_elapsed > self.print_every:
+                    avg_en = print_loss_en / self.print_every
+                    avg_de = print_loss_de / self.print_every
+                    print_loss_en = print_loss_de = 0.0
+                    log.info(
+                        "Progress: %d%%, Train nlll_de: %.4f, nlll_en: %.4f",
+                        step / total_steps * 100, avg_de, avg_en,
+                    )
+                    self.writer.add_scalar("train_loss_de", avg_de, global_step=step)
+                    self.writer.add_scalar("train_loss_en", avg_en, global_step=step)
+
+                if step % self.checkpoint_every == 0 or step == total_steps:
+                    if dev_set is None:
+                        continue
+                    losses_d, metrics = self._evaluate_batches(cfg, params, dev_set)
+                    for tag in ("nll_loss_en", "nll_loss_de"):
+                        self.writer.add_scalar(
+                            "dev_" + tag, losses_d[tag], global_step=step)
+                    for tag, v in metrics.items():
+                        self.writer.add_scalar("dev_" + tag, v, global_step=step)
+                    acc, bleu = self._ckpt_criterion(losses_d, metrics)
+                    log.info(
+                        "Progress: %d%%, Dev loss en: %.4f de: %.4f, "
+                        "acc: %.4f, bleu: %.4f",
+                        step / total_steps * 100, losses_d["nll_loss_en"],
+                        losses_d["nll_loss_de"], acc, bleu,
+                    )
+
+                    # save criterion (ref: trainer_asr.py:409)
+                    if ((prev_acc < acc) and (bleu < 0.1)) or prev_bleu < bleu:
+                        ckpt = Checkpoint(
+                            params=params, opt_state=opt_state, epoch=epoch,
+                            step=step, input_vocab=train_set.vocab_src,
+                            output_vocab=train_set.vocab_tgt,
+                        )
+                        saved = ckpt.save(self.expt_dir)
+                        log.info("saving at %s ...", saved)
+                        prev_acc, prev_bleu = acc, bleu
+                        count_no_improve = count_num_rollback = 0
+                    else:
+                        count_no_improve += 1
+
+                    if count_no_improve > self.max_count_no_improve:
+                        if self.max_count_num_rollback == 0:
+                            early_stop = True
+                            break
+                        params, opt_state = self._rollback(params, opt_state, log,
+                                                           epoch, step)
+                        count_no_improve = 0
+                        count_num_rollback += 1
+
+                    if count_num_rollback > self.max_count_num_rollback:
+                        params, opt_state = self._rollback(params, opt_state, log,
+                                                           epoch, step)
+                        # halve LR (ref: trainer_asr.py:472-477); with an
+                        # active warmup schedule the next step recomputes the
+                        # LR from the formula, exactly like the reference.
+                        self._lr_curr *= 0.5
+                        log.info("reducing lr ... step:%d - lr: %s", step,
+                                 self._lr_curr)
+                        if self._lr_curr <= 0.125 * self.learning_rate:
+                            log.info("early stop ...")
+                            early_stop = True
+                            break
+                        count_no_improve = count_num_rollback = 0
+
+                    if ckpt is not None:
+                        ckpt.rm_old(self.expt_dir, keep_num=self.keep_num)
+                    log.info("n_no_improve %d, num_rollback %d",
+                             count_no_improve, count_num_rollback)
+            else:
+                if dev_set is None:
+                    ckpt = Checkpoint(
+                        params=params, opt_state=opt_state, epoch=epoch,
+                        step=step, input_vocab=train_set.vocab_src,
+                        output_vocab=train_set.vocab_tgt,
+                    )
+                    saved = ckpt.save_epoch(self.expt_dir, epoch)
+                    log.info("saving at %s ...", saved)
+                continue
+
+        self._final_params = params
+        self._final_opt_state = opt_state
+
+    def _ckpt_criterion(self, losses, metrics):
+        """ASR judges on EN stats; every other mode on DE
+        (ref: trainer_asr.py:406-409 vs trainer_asr_st.py:486)."""
+        if self.MODE == "ASR":
+            return metrics["accuracy_en"], metrics["bleu_en"]
+        return metrics["accuracy_de"], metrics["bleu_de"]
+
+    def _rollback(self, params, opt_state, log, epoch, step):
+        latest = Checkpoint.get_latest_checkpoint(self.expt_dir)
+        if latest is None:
+            return params, opt_state
+        log.info("epoch:%d step: %d - rolling back %s ...", epoch, step, latest)
+        ckpt = Checkpoint.load(latest, params_template=params,
+                               opt_state_template=opt_state)
+        return ckpt.params, (
+            ckpt.opt_state if ckpt.opt_state is not None else opt_state
+        )
+
+
+class Trainer_ASR(Trainer):
+    MODE = "ASR"
+    DATA_KEY = "asr"
+
+
+class Trainer_MT(Trainer):
+    MODE = "MT"
+    DATA_KEY = "mt"
+
+
+class Trainer_ST(Trainer):
+    MODE = "ST"
+    DATA_KEY = "st"
+
+
+class Trainer_ASR_ST(Trainer):
+    MODE = "ASR_ST"
+    DATA_KEY = "st"

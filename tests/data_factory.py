@@ -1,0 +1,92 @@
+"""Synthetic tiny-corpus factory for tests and the e2e train demo.
+
+Produces the exact on-disk layout the reference consumes
+(ref: utils/dataset.py): vocab files with the special tokens on lines 0-4,
+src/tgt text files, per-utterance fbank .npy files, an acoustic file list of
+`path length spkid` lines, and per-speaker CMVN stats.
+"""
+
+from __future__ import annotations
+
+import os
+from os.path import join
+
+import numpy as np
+
+SPECIALS = ["<pad>", "<unk>", "<s>", "</s>", "<spc>"]
+
+SRC_WORDS = ["the", "cat", "sat", "on", "mat", "dog", "ran", "fast", "home",
+             "bird", "sang", "loud", "tree", "sky", "blue"]
+TGT_CHARS = list("abcdefghij")
+
+
+def make_corpus(
+    root: str,
+    n_sent: int = 24,
+    acous_dim: int = 8,
+    min_words: int = 2,
+    max_words: int = 5,
+    frames_per_word: int = 12,
+    n_speakers: int = 3,
+    seed: int = 0,
+):
+    """Create a tiny ST-style corpus under `root`. Returns a dict of paths."""
+    rng = np.random.RandomState(seed)
+    os.makedirs(root, exist_ok=True)
+    feadir = join(root, "fbk")
+    normdir = join(root, "norm")
+    os.makedirs(feadir, exist_ok=True)
+    os.makedirs(normdir, exist_ok=True)
+
+    vocab_src = SPECIALS + SRC_WORDS
+    vocab_tgt = SPECIALS + TGT_CHARS
+    with open(join(root, "vocab.src"), "w") as f:
+        f.write("\n".join(vocab_src) + "\n")
+    with open(join(root, "vocab.tgt"), "w") as f:
+        f.write("\n".join(vocab_tgt) + "\n")
+
+    # per-speaker CMVN stats
+    for s in range(n_speakers):
+        np.save(join(normdir, f"spk{s}.mu.npy"),
+                rng.randn(acous_dim).astype(np.float32) * 0.1)
+        np.save(join(normdir, f"spk{s}.std.npy"),
+                (1.0 + 0.1 * rng.rand(acous_dim)).astype(np.float32))
+
+    src_lines, tgt_lines, flis_lines = [], [], []
+    for i in range(n_sent):
+        nw = rng.randint(min_words, max_words + 1)
+        words = [SRC_WORDS[rng.randint(len(SRC_WORDS))] for _ in range(nw)]
+        src_lines.append(" ".join(words))
+        # tgt: "translate" each word to 2-3 chars + space
+        chars = []
+        for w in words:
+            chars.append("".join(
+                TGT_CHARS[(hash(w) + k) % len(TGT_CHARS)] for k in range(2)))
+        tgt_lines.append(" ".join(chars))
+
+        T = nw * frames_per_word + int(rng.randint(0, 7))
+        feat = rng.randn(T, acous_dim).astype(np.float32)
+        fpath = join(feadir, f"utt{i:04d}.npy")
+        np.save(fpath, feat)
+        spk = f"spk{i % n_speakers}"
+        flis_lines.append(f"{fpath} {T} {spk}.extra")
+
+    with open(join(root, "train.src"), "w") as f:
+        f.write("\n".join(src_lines) + "\n")
+    with open(join(root, "train.tgt"), "w") as f:
+        f.write("\n".join(tgt_lines) + "\n")
+    with open(join(root, "train.flis"), "w") as f:
+        f.write("\n".join(flis_lines) + "\n")
+
+    return {
+        "root": root,
+        "path_src": join(root, "train.src"),
+        "path_tgt": join(root, "train.tgt"),
+        "path_vocab_src": join(root, "vocab.src"),
+        "path_vocab_tgt": join(root, "vocab.tgt"),
+        "acous_path": join(root, "train.flis"),
+        "acous_norm_path": normdir,
+        "acous_dim": acous_dim,
+        "vocab_src_size": len(vocab_src),
+        "vocab_tgt_size": len(vocab_tgt),
+    }
