@@ -1,0 +1,154 @@
+"""Benchmark: flagship ST beam decode + train step on the local accelerator.
+
+Prints ONE JSON line:
+    {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+The baseline denominator is the reference PyTorch CPU implementation measured
+by scripts/measure_reference_baseline.py on the SAME workload shapes and
+recorded in benchmarks/reference_baseline.json (the reference publishes no
+numbers of its own — BASELINE.md).
+
+Axon-platform note: block_until_ready is not reliable through the remote
+tunnel, so every timed iteration forces completion with a scalar readback;
+the ~28 ms round-trip is amortised by batching (and is part of real serving
+latency anyway).
+"""
+
+import json
+import os
+import time
+
+ROOT = os.path.dirname(os.path.abspath(__file__))
+
+# Flagship workload (matches scripts/measure_reference_baseline.py)
+BENCH = dict(
+    enc_vocab=30000,
+    dec_vocab=200,  # char-level De targets
+    batch=16,
+    frames=1504,  # ~15s utterances, acous_max_len train regime, mult of 8
+    acous_dim=40,
+    acous_hidden=256,
+    dim_model=512,
+    dim_ff=1024,
+    heads=8,
+    layers=6,
+    max_src=90,
+    decode_len=150,
+    beam=5,
+)
+
+
+def bench_tpu(n_iters: int = 5):
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+
+    from stjep_tpu.config import BOS, ModelConfig
+    from stjep_tpu.infer.forward import forward_translate
+    from stjep_tpu.models.seq2seq import forward_train, init_seq2seq
+
+    b = BENCH
+    cfg = ModelConfig(
+        enc_vocab_size=b["enc_vocab"], dec_vocab_size=b["dec_vocab"],
+        enc_embedding_size=200, dec_embedding_size=b["dim_model"],
+        acous_dim=b["acous_dim"], acous_hidden_size=b["acous_hidden"],
+        dim_model=b["dim_model"], dim_feedforward=b["dim_ff"],
+        num_heads=b["heads"], enc_layers=b["layers"], dec_layers=b["layers"],
+        num_unilstm_dec=3, spec_aug=True, dropout=0.2,
+        max_seq_len_src=b["max_src"], max_seq_len_tgt=b["decode_len"],
+        mode="ASR_ST",
+    )
+    params = init_seq2seq(jax.random.PRNGKey(0), cfg)
+    B = b["batch"]
+    rng = np.random.RandomState(0)
+    feats = jnp.asarray(rng.randn(B, b["frames"], b["acous_dim"]).astype(np.float32))
+    lens_np = rng.randint(b["frames"] // 2, b["frames"] - 8, size=(B,)).astype(np.int32)
+    lens_np[0] = b["frames"] - 8  # round_up8(max) == frames, as the ref data
+    lens = jnp.asarray(lens_np)   # pipeline guarantees (ref: dataset.py:179)
+    src = jnp.asarray(
+        rng.randint(5, b["enc_vocab"], size=(B, b["max_src"])).astype(np.int32)
+    ).at[:, 0].set(BOS)
+    tgt = jnp.asarray(
+        rng.randint(5, b["dec_vocab"], size=(B, b["decode_len"])).astype(np.int32)
+    ).at[:, 0].set(BOS)
+
+    # ---- beam decode (ST: LAS greedy + transformer beam) ----
+    dec = jax.jit(partial(
+        forward_translate, cfg=cfg, mode="ST", beam_width=b["beam"],
+        penalty_factor=1.0, max_seq_len=b["decode_len"],
+    ))
+    out = dec(params, acous_feats=feats, acous_lens=lens)
+    _ = int(np.asarray(out[0, 0]))  # force completion (compile + run)
+    t0 = time.perf_counter()
+    acc = 0
+    for _i in range(n_iters):
+        out = dec(params, acous_feats=feats, acous_lens=lens)
+        acc += int(np.asarray(out[0, 1]))
+    dt = (time.perf_counter() - t0) / n_iters
+    utt_per_s = B / dt
+
+    # ---- train step (ASR_ST fwd+bwd+adam) ----
+    from stjep_tpu.train.optim import make_optimizer, set_lr
+    import optax
+
+    tx = make_optimizer(1.0)
+    opt_state = set_lr(tx.init(params), 1e-4)
+
+    def train_step(params, opt_state, feats, lens, src, tgt, rng):
+        def loss_fn(p):
+            o = forward_train(p, cfg, "ASR_ST", src, tgt=tgt, acous_feats=feats,
+                              acous_lens=lens, rng=rng, is_training=True)
+            la = -jnp.mean(jnp.take_along_axis(
+                o["logps_asr"], src[:, 1:, None], axis=2))
+            ld = -jnp.mean(jnp.take_along_axis(
+                o["logps_st"][:, :-1], tgt[:, 1:, None], axis=2))
+            return la + ld
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    step = jax.jit(train_step, donate_argnums=(0, 1))
+    params, opt_state, loss = step(params, opt_state, feats, lens, src, tgt,
+                                   jax.random.PRNGKey(1))
+    _ = float(loss)
+    t0 = time.perf_counter()
+    for i in range(n_iters):
+        params, opt_state, loss = step(params, opt_state, feats, lens, src,
+                                       tgt, jax.random.PRNGKey(i))
+        _ = float(loss)
+    step_per_s = n_iters / (time.perf_counter() - t0)
+
+    return utt_per_s, step_per_s
+
+
+def main():
+    utt_per_s, step_per_s = bench_tpu()
+
+    baseline_path = os.path.join(ROOT, "benchmarks", "reference_baseline.json")
+    vs_baseline = None
+    extra = {}
+    if os.path.exists(baseline_path):
+        with open(baseline_path) as f:
+            base = json.load(f)
+        if base.get("beam_decode_utt_per_s"):
+            vs_baseline = utt_per_s / base["beam_decode_utt_per_s"]
+        if base.get("train_step_per_s"):
+            extra["train_step_vs_baseline"] = step_per_s / base["train_step_per_s"]
+
+    result = {
+        "metric": "beam_decode_utterances_per_sec",
+        "value": round(utt_per_s, 3),
+        "unit": "utt/s/chip",
+        "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
+        "train_step_per_s": round(step_per_s, 4),
+        **extra,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

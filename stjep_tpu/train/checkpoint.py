@@ -35,13 +35,15 @@ class Checkpoint:
     """Bundle of (params, opt_state, epoch, step, vocabs) with save/load."""
 
     def __init__(self, params, opt_state=None, epoch: int = 0, step: int = 0,
-                 input_vocab=None, output_vocab=None, path: Optional[str] = None):
+                 input_vocab=None, output_vocab=None, path: Optional[str] = None,
+                 model_config: Optional[Dict] = None):
         self.params = params
         self.opt_state = opt_state
         self.epoch = epoch
         self.step = step
         self.input_vocab = input_vocab or []
         self.output_vocab = output_vocab or []
+        self.model_config = model_config
         self._path = path
 
     @property
@@ -62,7 +64,8 @@ class Checkpoint:
             with open(os.path.join(path, OPT_NAME), "wb") as f:
                 f.write(serialization.to_bytes(jax.device_get(self.opt_state)))
         with open(os.path.join(path, META_NAME), "w") as f:
-            json.dump({"epoch": self.epoch, "step": self.step}, f)
+            json.dump({"epoch": self.epoch, "step": self.step,
+                       "model_config": self.model_config}, f)
         with open(os.path.join(path, INPUT_VOCAB_FILE), "w") as f:
             json.dump(list(self.input_vocab), f)
         with open(os.path.join(path, OUTPUT_VOCAB_FILE), "w") as f:
@@ -129,7 +132,7 @@ class Checkpoint:
                 vout = json.load(f)
         return cls(params, opt_state=opt_state, epoch=meta["epoch"],
                    step=meta["step"], input_vocab=vin, output_vocab=vout,
-                   path=path)
+                   path=path, model_config=meta.get("model_config"))
 
     @classmethod
     def get_latest_checkpoint(cls, experiment_path: str) -> Optional[str]:

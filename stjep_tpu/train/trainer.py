@@ -478,10 +478,13 @@ class Trainer:
 
                     # save criterion (ref: trainer_asr.py:409)
                     if ((prev_acc < acc) and (bleu < 0.1)) or prev_bleu < bleu:
+                        import dataclasses as _dc
+
                         ckpt = Checkpoint(
                             params=params, opt_state=opt_state, epoch=epoch,
                             step=step, input_vocab=train_set.vocab_src,
                             output_vocab=train_set.vocab_tgt,
+                            model_config=_dc.asdict(cfg),
                         )
                         saved = ckpt.save(self.expt_dir)
                         log.info("saving at %s ...", saved)
@@ -520,10 +523,13 @@ class Trainer:
                              count_no_improve, count_num_rollback)
             else:
                 if dev_set is None:
+                    import dataclasses as _dc
+
                     ckpt = Checkpoint(
                         params=params, opt_state=opt_state, epoch=epoch,
                         step=step, input_vocab=train_set.vocab_src,
                         output_vocab=train_set.vocab_tgt,
+                        model_config=_dc.asdict(cfg),
                     )
                     saved = ckpt.save_epoch(self.expt_dir, epoch)
                     log.info("saving at %s ...", saved)

@@ -1,0 +1,307 @@
+"""Inference CLI — same flag surface as the reference (ref: translate.py:25-53).
+
+Eval modes (ref: translate.py:443-459):
+    1 - translate test set to <test_path_out>/translate.txt (beam search)
+    2 - average checkpoints under --combine_path and save the combined model
+    3 - gather mean dynamic embedding -> <test_path_out>/dyn_emb_ave.npy
+        (the EMB_DYN_AVE artifact consumed by MT training / ST_BASE decode)
+    4 - (extension) dump dynamic-vs-static embeddings to a TensorBoard
+        projector (ref: translate.py:200-283 plot_emb)
+"""
+
+import argparse
+import dataclasses
+import os
+import sys
+import time
+
+import numpy as np
+
+from stjep_tpu.config import ModelConfig, save_config, validate_config
+
+
+def load_arguments(parser):
+    """ref: translate.py:25-53 — flag names preserved."""
+    parser.add_argument('--test_path_src', type=str, required=True, help='test src dir')
+    parser.add_argument('--test_path_tgt', type=str, default='None', help='test tgt dir')
+    parser.add_argument('--path_vocab_src', type=str, default='None', help='vocab src dir, no need')
+    parser.add_argument('--path_vocab_tgt', type=str, default='None', help='vocab tgt dir, not needed')
+    parser.add_argument('--use_type', type=str, default='char', help='use char | word level prediction')
+    parser.add_argument('--acous_norm', type=str, default='False', help='input acoustic fbk normalisation')
+    parser.add_argument('--acous_norm_path', type=str, default='None', help='acoustics norm')
+    parser.add_argument('--test_acous_path', type=str, default='None', help='test set acoustics')
+
+    parser.add_argument('--load', type=str, required=True, help='model load dir')
+    parser.add_argument('--combine_path', type=str, default='None', help='combine multiple ckpts if given dir')
+    parser.add_argument('--test_path_out', type=str, required=True, help='test out dir')
+
+    parser.add_argument('--max_seq_len', type=int, default=32, help='maximum sequence length')
+    parser.add_argument('--batch_size', type=int, default=64, help='batch size')
+    parser.add_argument('--beam_width', type=int, default=0, help='beam width; set to 0 to disable beam search')
+    parser.add_argument('--use_gpu', type=str, default='False', help='whether or not using GPU')
+    parser.add_argument('--eval_mode', type=int, default=2, help='which evaluation mode to use')
+    parser.add_argument('--gen_mode', type=str, default='ASR', help='AE|ASR|MT|ST[-REF|-HYP]')
+    parser.add_argument('--lm_mode', type=str, default='null', help='null|s-4g|s-rnn|d')
+    parser.add_argument('--seqrev', type=str, default=False, help='whether or not to reverse sequence')
+    parser.add_argument('--lm_path', type=str, default='None',
+        help='path to pickled n-gram LM (the reference hardcodes its LM dir, '
+             'ref: translate.py:88-93)')
+    return parser
+
+
+def _load_model(load_dir):
+    """Rebuild (cfg, params) from a checkpoint dir (model_config in meta)."""
+    import jax
+
+    from stjep_tpu.models.seq2seq import init_seq2seq
+    from stjep_tpu.train.checkpoint import Checkpoint
+
+    raw = Checkpoint.load(load_dir)
+    assert raw.model_config is not None, (
+        f"checkpoint at {load_dir} has no model_config metadata"
+    )
+    fields = {f.name for f in dataclasses.fields(ModelConfig)}
+    cfg = ModelConfig(**{k: v for k, v in raw.model_config.items() if k in fields})
+    template = init_seq2seq(jax.random.PRNGKey(0), cfg)
+    ckpt = Checkpoint.load(load_dir, params_template=template)
+    return cfg, ckpt.params, ckpt
+
+
+def translate(test_set, cfg, params, test_path_out, max_seq_len, beam_width,
+              seqrev=False, gen_mode='ASR', lm_mode='null', lm_model=None,
+              history='HYP', minibatch_size=None, logger_print=print):
+    """MODE 1: beam-decode the test set to translate.txt
+    (ref: translate.py:56-197)."""
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+
+    from stjep_tpu.infer.forward import forward_translate
+    from stjep_tpu.utils.misc import _convert_to_words_batchfirst, detok_words
+    from stjep_tpu.ops.masks import round_up8
+
+    beam_width = max(1, beam_width)
+    refen = history == 'REF'
+    # LAS decode length override at eval time (ref: translate.py:72-73)
+    if 'ASR' in gen_mode or 'ST' in gen_mode:
+        cfg = dataclasses.replace(cfg, max_seq_len_src=150)
+    fwd = jax.jit(partial(
+        forward_translate, cfg=cfg, mode=gen_mode, beam_width=beam_width,
+        penalty_factor=1.0, max_seq_len=max_seq_len, refen=refen,
+    ))
+
+    test_set.construct_batches(is_train=False)
+    os.makedirs(test_path_out, exist_ok=True)
+    out_path = os.path.join(test_path_out, 'translate.txt')
+    n_batches = len(test_set)
+    logger_print('num batches: {}'.format(n_batches))
+
+    with open(out_path, 'w', encoding='utf8') as f:
+        for idx in range(n_batches):
+            logger_print(idx + 1, n_batches)
+            item = test_set.materialise_batch(idx)
+            B = item['srcid'].shape[0]
+            mb = minibatch_size or B
+            for st in range(0, B, mb):
+                ed = min(st + mb, B)
+                kwargs = {}
+                if 'acous_feat' in item:
+                    alen = int(round_up8(int(max(item['acouslen'][st:ed]))))
+                    alen = min(alen, item['acous_feat'].shape[1])
+                    kwargs['acous_feats'] = jnp.asarray(
+                        item['acous_feat'][st:ed, :alen])
+                    kwargs['acous_lens'] = jnp.asarray(item['acouslen'][st:ed])
+                if gen_mode == 'MT' or refen:
+                    kwargs['src'] = jnp.asarray(item['srcid'][st:ed])
+
+                time1 = time.time()
+                preds = np.asarray(fwd(params, **kwargs))
+                time2 = time.time()
+                logger_print('comp time: ', time2 - time1)
+
+                if gen_mode == 'MT' or 'ST' in gen_mode:
+                    seqlist = preds[:, 1:]
+                    id2word = test_set.tgt_id2word
+                    use_type = 'char'
+                else:  # ASR
+                    seqlist = preds
+                    id2word = test_set.src_id2word
+                    use_type = 'word'
+                words = _convert_to_words_batchfirst(seqlist, id2word)
+                for row in words:
+                    f.write('{}\n'.format(
+                        detok_words(row, use_type=use_type, seqrev=seqrev)))
+                sys.stdout.flush()
+    return out_path
+
+
+def gather_emb(test_set, cfg, params, test_path_out, logger_print=print):
+    """MODE 3: mean dynamic embedding -> dyn_emb_ave.npy
+    (ref: translate.py:286-357)."""
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+
+    from stjep_tpu.models.seq2seq import _encoder_acous
+    from stjep_tpu.ops.masks import round_up8
+
+    @partial(jax.jit)
+    def _dyn(params, acous_feats, acous_lens, src):
+        emb, _, _, _ = _encoder_acous(
+            params, cfg, acous_feats, acous_lens, tgt=src,
+            is_training=False, teacher_forcing=True,
+        )
+        # mean over all token slots (ref: translate.py:351)
+        return jnp.mean(emb.reshape(-1, emb.shape[-1]), axis=0)
+
+    test_set.construct_batches(is_train=False)
+    os.makedirs(test_path_out, exist_ok=True)
+    lis = []
+    for idx in range(len(test_set)):
+        logger_print(idx + 1, len(test_set))
+        item = test_set.materialise_batch(idx)
+        alen = int(round_up8(int(max(item['acouslen']))))
+        alen = min(alen, item['acous_feat'].shape[1])
+        vec = _dyn(params,
+                   jnp.asarray(item['acous_feat'][:, :alen]),
+                   jnp.asarray(item['acouslen']),
+                   jnp.asarray(item['srcid']))
+        lis.append(np.asarray(vec))
+    emb_ave = np.mean(np.stack(lis, axis=0), axis=0)
+    path_out = os.path.join(test_path_out, 'dyn_emb_ave.npy')
+    np.save(path_out, emb_ave)
+    logger_print('saved to {}'.format(path_out))
+    return path_out
+
+
+def plot_emb(test_set, cfg, params, test_path_out, logger_print=print):
+    """MODE 4 (extension): TensorBoard projector dump of dynamic vs static
+    embeddings (ref: translate.py:200-283)."""
+    import jax.numpy as jnp
+
+    from stjep_tpu.models.las_decoder import embed
+    from stjep_tpu.models.seq2seq import _encoder_acous, _pre_proc_src
+    from stjep_tpu.ops.masks import round_up8
+
+    try:
+        import torch
+        from torch.utils.tensorboard import SummaryWriter
+    except ImportError:
+        logger_print('tensorboard unavailable; skipping plot_emb')
+        return None
+
+    writer = SummaryWriter(log_dir=test_path_out)
+    test_set.construct_batches(is_train=False)
+    item = test_set.materialise_batch(0)
+    alen = int(round_up8(int(max(item['acouslen']))))
+    alen = min(alen, item['acous_feat'].shape[1])
+    dyn, _, preds, lengths = _encoder_acous(
+        params, cfg, jnp.asarray(item['acous_feat'][:, :alen]),
+        jnp.asarray(item['acouslen']), tgt=None, is_training=False,
+        teacher_forcing=False, max_seq_len=cfg.max_seq_len_src,
+    )
+    src = _pre_proc_src(jnp.asarray(item['srcid']))
+    static = embed(params['enc_embedder'], src)
+    commlen = min(dyn.shape[1], static.shape[1])
+    src_lens = np.asarray(item['srclen']) - 1
+    mask = np.arange(commlen)[None, :] < src_lens[:, None]
+    dyn_sel = np.asarray(dyn)[:, :commlen][mask]
+    # static embeddings may be narrower than dynamic; project is for viz only
+    stat_sel = np.asarray(static)[:, :commlen][mask]
+    hyp_ids = np.asarray(preds)[:, :commlen][mask]
+    ref_ids = np.asarray(src)[:, :commlen][mask]
+    words = [test_set.src_id2word.get(int(i), '<unk>') for i in hyp_ids]
+    words += [test_set.src_id2word.get(int(i), '<unk>') for i in ref_ids]
+    if stat_sel.shape[1] != dyn_sel.shape[1]:
+        pad = np.zeros((stat_sel.shape[0], dyn_sel.shape[1] - stat_sel.shape[1]))
+        stat_sel = np.concatenate([stat_sel, pad], axis=1)
+    feats = torch.tensor(np.concatenate([dyn_sel, stat_sel], axis=0))
+    writer.add_embedding(feats, metadata=words)
+    writer.close()
+    logger_print('embedding projector written to {}'.format(test_path_out))
+    return test_path_out
+
+
+def main():
+    from stjep_tpu.data.dataset import Dataset
+    from stjep_tpu.train.checkpoint import Checkpoint, combine_weights, log_ckpts
+
+    parser = argparse.ArgumentParser(description='Evaluation')
+    parser = load_arguments(parser)
+    args = vars(parser.parse_args())
+    config = validate_config(args)
+
+    test_path_src = config['test_path_src']
+    test_path_tgt = config['test_path_tgt'] or test_path_src
+    test_path_out = config['test_path_out']
+    test_acous_path = config['test_acous_path']
+
+    MODE = config['eval_mode']
+    if MODE != 2:
+        os.makedirs(test_path_out, exist_ok=True)
+        save_config(config, os.path.join(test_path_out, 'eval.cfg'))
+
+    cfg, params, ckpt = _load_model(config['load'])
+    print('Model dir: {}'.format(config['load']))
+    print('Model loaded')
+
+    if config['combine_path'] is not None:
+        params = combine_weights(config['combine_path'], params_template=params)
+
+    # long-decode support: the positional tables are pure functions of
+    # max_time in this framework (ref: translate.py:70-77 expand_time)
+    test_set = Dataset(
+        path_src=test_path_src, path_tgt=test_path_tgt,
+        vocab_src_list=ckpt.input_vocab, vocab_tgt_list=ckpt.output_vocab,
+        use_type=config['use_type'],
+        acous_path=test_acous_path,
+        seqrev=config['seqrev'],
+        acous_norm=config['acous_norm'],
+        acous_norm_path=config['acous_norm_path'],
+        acous_max_len=6000, max_seq_len_src=900, max_seq_len_tgt=900,
+        batch_size=config['batch_size'],
+        mode='ST' if test_acous_path else 'MT',
+    )
+    print('Test dir: {}'.format(test_path_src))
+    print('Testset loaded')
+    sys.stdout.flush()
+
+    # '{AE|ASR|MT|ST}-{REF|HYP}' (ref: translate.py:431-437)
+    parts = config['gen_mode'].split('-')
+    gen_mode = parts[0]
+    history = parts[1] if len(parts) == 2 else 'HYP'
+
+    lm_model = None
+    lm_mode = config['lm_mode']
+    if lm_mode != 'null' and lm_mode.split('_')[0] == 's-4g':
+        import dill
+
+        assert config['lm_path'] is not None, '--lm_path required for s-4g'
+        with open(config['lm_path'], 'rb') as fin:
+            lm_model = dill.load(fin)
+        print('LM {} - {} loaded'.format(lm_mode, config['lm_path']))
+
+    if MODE == 1:
+        translate(test_set, cfg, params, test_path_out,
+                  config['max_seq_len'], config['beam_width'],
+                  seqrev=config['seqrev'], gen_mode=gen_mode,
+                  lm_mode=lm_mode, lm_model=lm_model, history=history)
+    elif MODE == 2:
+        out = Checkpoint(
+            params=params, opt_state=None, epoch=0, step=0,
+            input_vocab=test_set.vocab_src, output_vocab=test_set.vocab_tgt,
+            model_config=ckpt.model_config,
+        )
+        saved_path = out.save_customise(os.path.join(
+            config['combine_path'].strip('/') + '-combine', 'combine'))
+        log_ckpts(config['combine_path'],
+                  config['combine_path'].strip('/') + '-combine')
+        print('saving at {} ... '.format(saved_path))
+    elif MODE == 3:
+        gather_emb(test_set, cfg, params, test_path_out)
+    elif MODE == 4:
+        plot_emb(test_set, cfg, params, test_path_out)
+
+
+if __name__ == '__main__':
+    main()
