@@ -151,7 +151,8 @@ def beam_search(
         preds = s.preds[r_idx]
         preds = jax.lax.dynamic_update_index_in_dim(preds, pred_sel, s.i, axis=1)
         cache = cache._replace(
-            self_k=cache.self_k[:, r_idx], self_v=cache.self_v[:, r_idx]
+            self_k=tuple(k[r_idx] for k in cache.self_k),
+            self_v=tuple(v[r_idx] for v in cache.self_v),
         )
         return finish_step(s, pred_sel, scores, preds, cache)
 

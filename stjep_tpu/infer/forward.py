@@ -91,6 +91,7 @@ def forward_translate(
     max_seq_len: int = 900,
     rng: Optional[jax.Array] = None,
     refen: bool = False,
+    lm_fuse=None,
 ) -> jnp.ndarray:
     """Beam-search inference (ref: Seq2seq.py:641-796). Returns preds ids.
 
@@ -106,7 +107,7 @@ def forward_translate(
             _, _, preds_src, _ = _encoder_acous(
                 params, cfg, acous_feats, acous_lens, tgt=None,
                 is_training=False, teacher_forcing=False, rng=rng,
-                max_seq_len=cfg.max_seq_len_src,
+                max_seq_len=cfg.max_seq_len_src, lm_fuse=lm_fuse,
             )
         return preds_src
 

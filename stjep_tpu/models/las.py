@@ -35,6 +35,7 @@ def las_forward(
     max_seq_len: Optional[int] = None,
     rng: Optional[jax.Array] = None,
     is_training: bool = False,
+    lm_fuse=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """(sequence_embs, logps, symbols, lengths) — ref: models/Las.py:91-123.
 
@@ -56,5 +57,5 @@ def las_forward(
     return las_decoder_forward(
         params["decoder"], cfg, acous_outputs, acous_lens=acous_lens, tgt=tgt,
         use_teacher_forcing=use_teacher_forcing, max_seq_len=max_seq_len,
-        rng=rng_dec, is_training=is_training,
+        rng=rng_dec, is_training=is_training, lm_fuse=lm_fuse,
     )

@@ -80,6 +80,7 @@ class DecodeState(NamedTuple):
     prev_c: jnp.ndarray  # [B, 1, Tk] hybrid-attention cumulative mean
     symbol: jnp.ndarray  # [B] last emitted symbol (greedy)
     lengths: jnp.ndarray  # [B] int32
+    ctx: jnp.ndarray  # [B, 3] last-3 emitted symbols (n-gram LM context)
     rng: jax.Array
 
 
@@ -164,6 +165,7 @@ def las_decoder_forward(
     max_seq_len: Optional[int] = None,
     rng: Optional[jax.Array] = None,
     is_training: bool = False,
+    lm_fuse=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Full decode over max_seq_len - 1 steps (ref: Dec.py:130-233).
 
@@ -205,6 +207,7 @@ def las_decoder_forward(
         prev_c=jnp.zeros((B, 1, Tk), acous_outputs.dtype),
         symbol=tgt[:, 0],  # BOS
         lengths=jnp.full((B,), L, dtype=jnp.int32),
+        ctx=jnp.zeros((B, 3), dtype=jnp.int32),
         rng=k0,
     )
 
@@ -222,8 +225,20 @@ def las_decoder_forward(
             params, cfg, pre_keys, acous_outputs, att_mask, emb_in, state,
             training=is_training,
         )
+        if lm_fuse is not None:
+            # n-gram LM shallow fusion over top candidates: the reference's
+            # per-candidate host loop (ref: Dec.py:236-317) becomes a
+            # pure_callback per step.
+            logp = jax.pure_callback(
+                lm_fuse,
+                jax.ShapeDtypeStruct(logp.shape, logp.dtype),
+                logp, state.ctx, step,
+                vmap_method="sequential",
+            )
         symbols, lengths = _greedy_update(step, logp, state.lengths)
-        state = state._replace(symbol=symbols, lengths=lengths)
+        ctx = jnp.concatenate(
+            [state.ctx[:, 1:], symbols[:, None].astype(jnp.int32)], axis=1)
+        state = state._replace(symbol=symbols, lengths=lengths, ctx=ctx)
         return state, (cell_value, logp, symbols)
 
     final, (embs, logps, symbols) = jax.lax.scan(body, init, (steps, emb_steps))

@@ -24,6 +24,11 @@ from stjep_tpu.ops.lstm import bilstm, bilstm_init
 from stjep_tpu.ops.masks import round_up8
 from stjep_tpu.ops.transformer import dropout
 
+# Use the fused Pallas BiLSTM kernel (ops/lstm_pallas.py) on TPU inference
+# paths; training keeps the XLA scan until the kernel grows a fused backward
+# (its custom_vjp rematerialises through the scan, which would add a forward).
+USE_PALLAS_LSTM = True
+
 
 def las_encoder_init(key, cfg: ModelConfig, dtype=jnp.float32) -> Dict:
     H = cfg.acous_hidden_size
@@ -86,12 +91,23 @@ def las_encoder_forward(
     else:
         lens = jnp.minimum(round_up8(acous_lens.astype(jnp.int32)), T)
 
+    use_pallas = USE_PALLAS_LSTM and not is_training
+    if use_pallas:
+        import jax as _jax
+
+        use_pallas = _jax.default_backend() in ("tpu", "axon")
+
     x = acous_feats
     cur_lens = lens
     n = cfg.num_pyramid_layers
     for i in range(n):
         p = params[f"acous_enc_l{i + 1}"]
-        out = bilstm(p["fwd"], p["bwd"], x, lengths=cur_lens)
+        if use_pallas:
+            from stjep_tpu.ops.lstm_pallas import bilstm_pallas
+
+            out = bilstm_pallas(p["fwd"], p["bwd"], x, cur_lens)
+        else:
+            out = bilstm(p["fwd"], p["bwd"], x, lengths=cur_lens)
         if is_training and cfg.dropout > 0.0:
             rng, k = jax.random.split(rng)
             out = dropout(k, out, cfg.dropout, deterministic=False)

@@ -133,13 +133,13 @@ def _pre_proc_src(src):
 
 def _encoder_acous(params, cfg: ModelConfig, acous_feats, acous_lens,
                    tgt=None, is_training=False, teacher_forcing=False,
-                   rng=None, max_seq_len=None):
+                   rng=None, max_seq_len=None, lm_fuse=None):
     """LAS pass -> (dynamic embs, logps, preds, lengths)
     (ref: Seq2seq.py:222-230)."""
     return las_forward(
         params["las"], cfg, acous_feats, acous_lens=acous_lens, tgt=tgt,
         use_teacher_forcing=teacher_forcing, max_seq_len=max_seq_len,
-        rng=rng, is_training=is_training,
+        rng=rng, is_training=is_training, lm_fuse=lm_fuse,
     )
 
 

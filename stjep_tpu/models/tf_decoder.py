@@ -114,10 +114,17 @@ def tf_decoder_forward(
 
 
 class TFDecCache(NamedTuple):
-    self_k: jnp.ndarray  # [n_layers, B, n_head, Lmax, d_k]
-    self_v: jnp.ndarray
-    mem_k: jnp.ndarray  # [n_layers, B, n_head, Lk, d_k]
-    mem_v: jnp.ndarray
+    """Per-layer K/V caches as TUPLES of [B, n_head, L, d_k] arrays.
+
+    Tuples (not a stacked [n_layers, ...] array) matter for speed: each
+    decode step then performs one in-place dynamic_update_slice per layer
+    inside the while_loop carry, instead of rewriting a whole stacked cache
+    with .at[layer].set."""
+
+    self_k: tuple
+    self_v: tuple
+    mem_k: tuple
+    mem_v: tuple
 
 
 def tf_decoder_init_cache(
@@ -134,12 +141,12 @@ def tf_decoder_init_cache(
         )
         mem_ks.append(kv.k)
         mem_vs.append(kv.v)
-    zeros = jnp.zeros((n_layers, B, cfg.num_heads, max_len, d_k), memory.dtype)
+    zeros = jnp.zeros((B, cfg.num_heads, max_len, d_k), memory.dtype)
     return TFDecCache(
-        self_k=zeros,
-        self_v=zeros,
-        mem_k=jnp.stack(mem_ks),
-        mem_v=jnp.stack(mem_vs),
+        self_k=tuple(zeros for _ in range(n_layers)),
+        self_v=tuple(zeros for _ in range(n_layers)),
+        mem_k=tuple(mem_ks),
+        mem_v=tuple(mem_vs),
     )
 
 
@@ -163,7 +170,8 @@ def tf_decoder_step(
     x = x_new + jax.lax.dynamic_slice_in_dim(time_sig, pos, 1, axis=1).astype(
         x_new.dtype
     )
-    self_k, self_v = cache.self_k, cache.self_v
+    self_k = list(cache.self_k)
+    self_v = list(cache.self_v)
     for layer in range(cfg.dec_layers):
         if cfg.transformer_type == "universal":
             x = x + layer_sig[:, layer, :][:, None, :].astype(x.dtype)
@@ -174,7 +182,7 @@ def tf_decoder_step(
             lp, x, layer_cache, mem_kv, pos, cfg.num_heads, mem_mask=mem_mask,
             self_mask_k=self_mask_k,
         )
-        self_k = self_k.at[layer].set(layer_cache.k)
-        self_v = self_v.at[layer].set(layer_cache.v)
+        self_k[layer] = layer_cache.k
+        self_v[layer] = layer_cache.v
     x = layer_norm(params["norm"], x, eps=1e-5)
-    return x, cache._replace(self_k=self_k, self_v=self_v)
+    return x, cache._replace(self_k=tuple(self_k), self_v=tuple(self_v))

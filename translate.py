@@ -85,9 +85,13 @@ def translate(test_set, cfg, params, test_path_out, max_seq_len, beam_width,
     # LAS decode length override at eval time (ref: translate.py:72-73)
     if 'ASR' in gen_mode or 'ST' in gen_mode:
         cfg = dataclasses.replace(cfg, max_seq_len_src=150)
+    from stjep_tpu.infer.lm_fusion import make_ngram_fuser
+
+    lm_fuse = make_ngram_fuser(lm_model, lm_mode)
     fwd = jax.jit(partial(
         forward_translate, cfg=cfg, mode=gen_mode, beam_width=beam_width,
         penalty_factor=1.0, max_seq_len=max_seq_len, refen=refen,
+        lm_fuse=lm_fuse,
     ))
 
     test_set.construct_batches(is_train=False)
