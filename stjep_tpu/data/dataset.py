@@ -363,8 +363,24 @@ class Dataset:
             norm_param.append(cache[spkid])
         return norm_param
 
-    def load_acous(self, flis: List[str], norm_param=None) -> np.ndarray:
-        """Load + CMVN + pad to multiple of 8 (ref: dataset.py:157-184)."""
+    def load_acous(self, flis: List[str], norm_param=None,
+                   lengths: Optional[List[int]] = None) -> np.ndarray:
+        """Load + CMVN + pad to multiple of 8 (ref: dataset.py:157-184).
+
+        Uses the native C++ threaded loader when available (data/loader.py);
+        falls back to the numpy path."""
+        if lengths is not None and flis and flis[0]:
+            from stjep_tpu.data.loader import get_native_loader
+
+            native = get_native_loader()
+            if native is not None:
+                T = int(round_up8(max(lengths)))
+                probe = np.load(flis[0], mmap_mode="r")
+                D = probe.shape[1]
+                try:
+                    return native.load_batch(flis, T, D, norm_param=norm_param)
+                except RuntimeError:
+                    pass  # fall back to numpy below
         feats = []
         max_len = 0
         acous_dim = None
@@ -397,7 +413,9 @@ class Dataset:
             item["tgtlen"] = np.asarray(b["tgt_sentence_lengths"], np.int32)
         if "ST" in self.mode or "ASR" in self.mode:
             norm = self.load_mu_std(b["acous_spkids"]) if self.acous_norm else None
-            item["acous_feat"] = self.load_acous(b["acous_flis"], norm_param=norm)
+            item["acous_feat"] = self.load_acous(
+                b["acous_flis"], norm_param=norm, lengths=b["acous_lengths"]
+            )
             item["acouslen"] = np.asarray(b["acous_lengths"], np.int32)
         return item
 

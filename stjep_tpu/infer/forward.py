@@ -115,6 +115,17 @@ def forward_translate(
         params, cfg, mode, src, acous_feats, acous_lens, rng, refen
     )
     beam_width = max(1, beam_width)
+    if beam_width == 1:
+        # beam width 1 emits exactly the greedy argmax sequence (the k^2->k
+        # selection degenerates to argmax, ref: Seq2seq.py:349-356), so use
+        # the cheaper greedy while_loop with no cache reordering.
+        from stjep_tpu.models.seq2seq import _greedy_decode
+
+        preds, _ = _greedy_decode(
+            params, cfg, enc_out, mem_mask_b, max_seq_len,
+            max(max_seq_len, 500),
+        )
+        return preds
     preds, scores = beam_search(
         params, cfg, enc_out, mem_mask_b, beam_width, penalty_factor, max_seq_len
     )
