@@ -119,6 +119,33 @@ def get_native_loader() -> Optional[NativeLoader]:
     return _native_singleton if _native_singleton.available else None
 
 
+def host_prefetch(batch_iter, size: int = 2):
+    """Background-thread host-side prefetch: overlaps npy I/O + batch
+    assembly with device compute (the reference's loader is synchronous)."""
+    q: "queue.Queue" = queue.Queue(maxsize=size)
+    _END = object()
+    err = []
+
+    def producer():
+        try:
+            for item in batch_iter:
+                q.put(item)
+        except BaseException as e:  # surfaced on the consumer side
+            err.append(e)
+        finally:
+            q.put(_END)
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _END:
+            if err:
+                raise err[0]
+            break
+        yield item
+
+
 def prefetch_to_device(
     batch_iter: Iterator[Dict[str, np.ndarray]],
     size: int = 2,

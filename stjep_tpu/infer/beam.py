@@ -77,6 +77,7 @@ def beam_search(
     beam_width: int,
     penalty_factor: float,
     max_seq_len: int,
+    cache_dtype=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Returns (preds [B, max_seq_len] best-beam tokens BOS-first PAD-padded,
     scores [B])."""
@@ -88,7 +89,8 @@ def beam_search(
     mem_mask = _expand_beam(mem_mask_b, K) if mem_mask_b is not None else None
     max_time = max(max_seq_len, 500)
 
-    cache = tf_decoder_init_cache(params["dec_tgt"], cfg, enc_expand, max_seq_len)
+    cache = tf_decoder_init_cache(params["dec_tgt"], cfg, enc_expand,
+                                  max_seq_len, cache_dtype=cache_dtype)
     preds = jnp.full((BK, max_seq_len), PAD, jnp.int32).at[:, 0].set(BOS)
     batch_offset = (jnp.arange(B) * (K * K))[:, None]  # [B,1]
 

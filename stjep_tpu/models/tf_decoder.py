@@ -128,20 +128,25 @@ class TFDecCache(NamedTuple):
 
 
 def tf_decoder_init_cache(
-    params: Dict, cfg: ModelConfig, memory: jnp.ndarray, max_len: int
+    params: Dict, cfg: ModelConfig, memory: jnp.ndarray, max_len: int,
+    cache_dtype=None,
 ) -> TFDecCache:
-    """Preallocate self-attn caches and precompute cross-attn K/V."""
+    """Preallocate self-attn caches and precompute cross-attn K/V.
+
+    cache_dtype (e.g. jnp.bfloat16) halves cache HBM traffic; attention
+    math still accumulates in f32."""
     B = memory.shape[0]
     n_layers = cfg.dec_layers
     d_k = cfg.d_k
+    dt = cache_dtype or memory.dtype
     mem_ks, mem_vs = [], []
     for i in range(n_layers):
         kv = mha_cross_precompute(
             _layer_params(params, cfg, i)["encdec_attn"], memory, cfg.num_heads
         )
-        mem_ks.append(kv.k)
-        mem_vs.append(kv.v)
-    zeros = jnp.zeros((B, cfg.num_heads, max_len, d_k), memory.dtype)
+        mem_ks.append(kv.k.astype(dt))
+        mem_vs.append(kv.v.astype(dt))
+    zeros = jnp.zeros((B, cfg.num_heads, max_len, d_k), dt)
     return TFDecCache(
         self_k=tuple(zeros for _ in range(n_layers)),
         self_v=tuple(zeros for _ in range(n_layers)),

@@ -165,8 +165,12 @@ def mha_self_step(
     k_new = _split_heads(linear(params["w_ks"], x_new), n_head)
     v_new = _split_heads(linear(params["w_vs"], x_new), n_head)
 
-    k = jax.lax.dynamic_update_slice(cache.k, k_new, (0, 0, pos, 0))
-    v = jax.lax.dynamic_update_slice(cache.v, v_new, (0, 0, pos, 0))
+    # caches may be kept in a lower precision (e.g. bfloat16) to halve the
+    # HBM traffic of beam-search cache reorders
+    k = jax.lax.dynamic_update_slice(
+        cache.k, k_new.astype(cache.k.dtype), (0, 0, pos, 0))
+    v = jax.lax.dynamic_update_slice(
+        cache.v, v_new.astype(cache.v.dtype), (0, 0, pos, 0))
 
     lmax = k.shape[2]
     valid = jnp.arange(lmax) <= pos  # causal: attend up to current pos

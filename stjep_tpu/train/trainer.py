@@ -438,8 +438,10 @@ class Trainer:
             log.info("Memory used: %.2f MB", mem_mb)
             self.writer.add_scalar("Memory_MB", round(mem_mb, 2), global_step=step)
 
-            for idx in range(steps_per_epoch):
-                item = train_set.materialise_batch(idx)
+            from stjep_tpu.data.loader import host_prefetch
+
+            batch_stream = host_prefetch(train_set.iter_batches(), size=2)
+            for idx, item in enumerate(batch_stream):
                 step += 1
                 step_elapsed += 1
                 params, opt_state, losses = self._train_batch(
