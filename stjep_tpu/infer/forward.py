@@ -92,6 +92,7 @@ def forward_translate(
     rng: Optional[jax.Array] = None,
     refen: bool = False,
     lm_fuse=None,
+    cache_dtype=None,
 ) -> jnp.ndarray:
     """Beam-search inference (ref: Seq2seq.py:641-796). Returns preds ids.
 
@@ -127,7 +128,8 @@ def forward_translate(
         )
         return preds
     preds, scores = beam_search(
-        params, cfg, enc_out, mem_mask_b, beam_width, penalty_factor, max_seq_len
+        params, cfg, enc_out, mem_mask_b, beam_width, penalty_factor,
+        max_seq_len, cache_dtype=cache_dtype,
     )
     return preds
 

@@ -46,6 +46,9 @@ def load_arguments(parser):
     parser.add_argument('--lm_path', type=str, default='None',
         help='path to pickled n-gram LM (the reference hardcodes its LM dir, '
              'ref: translate.py:88-93)')
+    parser.add_argument('--beam_cache_dtype', type=str, default='float32',
+        help='KV-cache dtype for beam decode: float32 (token-identical to '
+             'the reference) | bfloat16 (~1.5x faster, may flip near-ties)')
     return parser
 
 
@@ -69,7 +72,8 @@ def _load_model(load_dir):
 
 def translate(test_set, cfg, params, test_path_out, max_seq_len, beam_width,
               seqrev=False, gen_mode='ASR', lm_mode='null', lm_model=None,
-              history='HYP', minibatch_size=None, logger_print=print):
+              history='HYP', minibatch_size=None, logger_print=print,
+              beam_cache_dtype='float32'):
     """MODE 1: beam-decode the test set to translate.txt
     (ref: translate.py:56-197)."""
     import jax
@@ -88,10 +92,11 @@ def translate(test_set, cfg, params, test_path_out, max_seq_len, beam_width,
     from stjep_tpu.infer.lm_fusion import make_ngram_fuser
 
     lm_fuse = make_ngram_fuser(lm_model, lm_mode)
+    cache_dtype = jnp.bfloat16 if beam_cache_dtype == 'bfloat16' else None
     fwd = jax.jit(partial(
         forward_translate, cfg=cfg, mode=gen_mode, beam_width=beam_width,
         penalty_factor=1.0, max_seq_len=max_seq_len, refen=refen,
-        lm_fuse=lm_fuse,
+        lm_fuse=lm_fuse, cache_dtype=cache_dtype,
     ))
 
     test_set.construct_batches(is_train=False)
@@ -289,7 +294,8 @@ def main():
         translate(test_set, cfg, params, test_path_out,
                   config['max_seq_len'], config['beam_width'],
                   seqrev=config['seqrev'], gen_mode=gen_mode,
-                  lm_mode=lm_mode, lm_model=lm_model, history=history)
+                  lm_mode=lm_mode, lm_model=lm_model, history=history,
+                  beam_cache_dtype=config['beam_cache_dtype'])
     elif MODE == 2:
         out = Checkpoint(
             params=params, opt_state=None, epoch=0, step=0,
