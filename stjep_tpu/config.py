@@ -117,6 +117,9 @@ class ModelConfig:
     # attention-weight dropout is hardcoded 0.1 in the reference
     # (ref: modules/layers.py:207 ScaledDotProductAttention attn_dropout=0.1)
     attn_dropout: float = 0.1
+    # rematerialise transformer layers in the backward pass (jax.checkpoint)
+    # to trade FLOPs for HBM at large configs
+    remat: bool = False
 
     @property
     def comb_mode(self) -> str:

@@ -99,11 +99,21 @@ def tf_decoder_forward(
             rng, k = jax.random.split(rng)
         else:
             k = None
-        x, att_self, att_cross = decoder_layer(
-            _layer_params(params, cfg, layer), x, memory, cfg.num_heads,
-            self_mask=tgt_mask, cross_mask=src_mask,
-            rng=k, dropout_rate=cfg.dropout, deterministic=deterministic,
-        )
+        lp = _layer_params(params, cfg, layer)
+        if cfg.remat and is_training:
+            def _apply(lp, x, memory, k):
+                return decoder_layer(
+                    lp, x, memory, cfg.num_heads, self_mask=tgt_mask,
+                    cross_mask=src_mask, rng=k, dropout_rate=cfg.dropout,
+                    deterministic=deterministic)
+
+            x, att_self, att_cross = jax.checkpoint(_apply)(lp, x, memory, k)
+        else:
+            x, att_self, att_cross = decoder_layer(
+                lp, x, memory, cfg.num_heads, self_mask=tgt_mask,
+                cross_mask=src_mask, rng=k, dropout_rate=cfg.dropout,
+                deterministic=deterministic,
+            )
     x = layer_norm(params["norm"], x, eps=1e-5)  # torch default eps, ref:58
     return x, att_self, att_cross
 

@@ -91,9 +91,18 @@ def tf_encoder_forward(
             rng, k = jax.random.split(rng)
         else:
             k = None
-        x, att = encoder_layer(
-            _layer_params(params, cfg, layer), x, cfg.num_heads, mask=src_mask,
-            rng=k, dropout_rate=cfg.dropout, deterministic=deterministic,
-        )
+        lp = _layer_params(params, cfg, layer)
+        if cfg.remat and is_training:
+            def _apply(lp, x, k):
+                return encoder_layer(
+                    lp, x, cfg.num_heads, mask=src_mask, rng=k,
+                    dropout_rate=cfg.dropout, deterministic=deterministic)
+
+            x, att = jax.checkpoint(_apply)(lp, x, k)
+        else:
+            x, att = encoder_layer(
+                lp, x, cfg.num_heads, mask=src_mask, rng=k,
+                dropout_rate=cfg.dropout, deterministic=deterministic,
+            )
     x = layer_norm(params["norm"], x, eps=1e-6)  # ref: TFEnc.py:61,89
     return x, att

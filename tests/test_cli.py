@@ -1,0 +1,121 @@
+"""CLI smoke tests: train.py / translate.py subprocess runs on a tiny
+synthetic corpus (forced CPU) + config round-trip."""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+from stjep_tpu.config import read_config, save_config, validate_config
+
+from tests.data_factory import make_corpus
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run(args, cwd=REPO, timeout=600):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = REPO
+    return subprocess.run(
+        [sys.executable] + args, cwd=cwd, env=env, timeout=timeout,
+        capture_output=True, text=True,
+    )
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    return make_corpus(str(tmp_path_factory.mktemp("cli")), n_sent=12)
+
+
+@pytest.fixture(scope="module")
+def trained(corpus, tmp_path_factory):
+    expt = str(tmp_path_factory.mktemp("expt"))
+    r = _run([
+        "train.py", "--mode", "ASR", "--save", expt,
+        "--asr_train_path_src", corpus["path_src"],
+        "--asr_train_acous_path", corpus["acous_path"],
+        "--asr_dev_path_src", corpus["path_src"],
+        "--asr_dev_acous_path", corpus["acous_path"],
+        "--path_vocab_src", corpus["path_vocab_src"],
+        "--path_vocab_tgt", corpus["path_vocab_tgt"],
+        "--las_acous_dim", "8", "--las_acous_hidden_size", "4",
+        "--las_acous_norm", "False",
+        "--dim_model", "8", "--dim_feedforward", "16", "--num_heads", "2",
+        "--enc_layers", "1", "--dec_layers", "1",
+        "--embedding_size_enc", "8", "--embedding_size_dec", "8",
+        "--max_seq_len_src", "16", "--max_seq_len_tgt", "24",
+        "--batch_size", "6", "--minibatch_partition", "1",
+        "--num_epochs", "1", "--checkpoint_every", "2", "--print_every", "2",
+        "--learning_rate", "0.005", "--learning_rate_init", "0.005",
+        "--lr_warmup_steps", "0",
+    ])
+    assert r.returncode == 0, r.stderr[-3000:]
+    from stjep_tpu.train.checkpoint import Checkpoint
+
+    latest = Checkpoint.get_latest_checkpoint(expt)
+    assert latest is not None, r.stderr[-2000:]
+    return corpus, latest
+
+
+def test_train_cli_writes_config_and_ckpt(trained):
+    corpus, latest = trained
+    expt = os.path.dirname(os.path.dirname(latest))
+    assert os.path.exists(os.path.join(expt, "model.cfg"))
+    assert os.path.exists(os.path.join(latest, "params.msgpack"))
+    with open(os.path.join(latest, "meta.json")) as f:
+        meta = json.load(f)
+    assert meta["model_config"]["mode"] == "ASR"
+
+
+def test_translate_cli_mode1_asr(trained, tmp_path):
+    corpus, latest = trained
+    out = str(tmp_path / "eval")
+    r = _run([
+        "translate.py", "--test_path_src", corpus["path_src"],
+        "--test_path_tgt", corpus["path_tgt"],
+        "--test_acous_path", corpus["acous_path"],
+        "--load", latest, "--test_path_out", out,
+        "--eval_mode", "1", "--gen_mode", "ASR", "--batch_size", "6",
+        "--beam_width", "1", "--max_seq_len", "16", "--use_type", "word",
+    ])
+    assert r.returncode == 0, r.stderr[-3000:]
+    lines = open(os.path.join(out, "translate.txt")).read().splitlines()
+    assert len(lines) == 12  # one output line per utterance
+
+
+def test_translate_cli_mode2_combine(trained, tmp_path):
+    corpus, latest = trained
+    pool = os.path.dirname(latest)
+    r = _run([
+        "translate.py", "--test_path_src", corpus["path_src"],
+        "--test_path_tgt", corpus["path_tgt"],
+        "--test_acous_path", corpus["acous_path"],
+        "--load", latest, "--combine_path", pool,
+        "--test_path_out", str(tmp_path / "x"), "--eval_mode", "2",
+        "--batch_size", "6",
+    ])
+    assert r.returncode == 0, r.stderr[-3000:]
+    combined = pool.rstrip("/") + "-combine/combine"
+    assert os.path.exists(os.path.join(combined, "params.msgpack"))
+
+
+def test_config_roundtrip(tmp_path):
+    cfg = {"a": 1, "b": True, "c": "hello", "d": 0.5}
+    p = str(tmp_path / "c.cfg")
+    save_config(cfg, p)
+    text = open(p).read()
+    assert "a:1" in text and "b:True" in text
+
+    p2 = str(tmp_path / "c2.cfg")
+    with open(p2, "w") as f:
+        f.write("x=3\ny=0.25\nz=true\nw=hello\n")
+    back = read_config(p2)
+    assert back == {"x": 3, "y": 0.25, "z": True, "w": "hello"}
+
+
+def test_validate_config_string_booleans():
+    cfg = validate_config({"a": "True", "b": "false", "c": "None", "d": "keep"})
+    assert cfg == {"a": True, "b": False, "c": None, "d": "keep"}

@@ -302,10 +302,12 @@ def main():
             input_vocab=test_set.vocab_src, output_vocab=test_set.vocab_tgt,
             model_config=ckpt.model_config,
         )
+        # rstrip, not strip: the reference's strip('/') turns absolute paths
+        # relative (ref: translate.py:454) — fixed here, noted in PARITY.md
         saved_path = out.save_customise(os.path.join(
-            config['combine_path'].strip('/') + '-combine', 'combine'))
+            config['combine_path'].rstrip('/') + '-combine', 'combine'))
         log_ckpts(config['combine_path'],
-                  config['combine_path'].strip('/') + '-combine')
+                  config['combine_path'].rstrip('/') + '-combine')
         print('saving at {} ... '.format(saved_path))
     elif MODE == 3:
         gather_emb(test_set, cfg, params, test_path_out)
