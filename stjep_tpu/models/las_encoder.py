@@ -24,9 +24,8 @@ from stjep_tpu.ops.lstm import bilstm, bilstm_init
 from stjep_tpu.ops.masks import round_up8
 from stjep_tpu.ops.transformer import dropout
 
-# Use the fused Pallas BiLSTM kernel (ops/lstm_pallas.py) on TPU inference
-# paths; training keeps the XLA scan until the kernel grows a fused backward
-# (its custom_vjp rematerialises through the scan, which would add a forward).
+# Use the fused Pallas BiLSTM kernels on TPU: lstm_pallas.py (inference) and
+# lstm_pallas_bwd.py (training, with the fused reverse-scan backward).
 USE_PALLAS_LSTM = True
 
 
@@ -91,18 +90,18 @@ def las_encoder_forward(
     else:
         lens = jnp.minimum(round_up8(acous_lens.astype(jnp.int32)), T)
 
-    use_pallas = USE_PALLAS_LSTM and not is_training
-    if use_pallas:
-        import jax as _jax
-
-        use_pallas = _jax.default_backend() in ("tpu", "axon")
+    use_pallas = USE_PALLAS_LSTM and jax.default_backend() in ("tpu", "axon")
 
     x = acous_feats
     cur_lens = lens
     n = cfg.num_pyramid_layers
     for i in range(n):
         p = params[f"acous_enc_l{i + 1}"]
-        if use_pallas:
+        if use_pallas and is_training:
+            from stjep_tpu.ops.lstm_pallas_bwd import bilstm_pallas_trainable
+
+            out = bilstm_pallas_trainable(p["fwd"], p["bwd"], x, cur_lens)
+        elif use_pallas:
             from stjep_tpu.ops.lstm_pallas import bilstm_pallas
 
             out = bilstm_pallas(p["fwd"], p["bwd"], x, cur_lens)

@@ -1,0 +1,283 @@
+"""Fused Pallas backward for the bidirectional LSTM scan.
+
+Completes the kernel pair: lstm_pallas.py's forward now saves the per-step
+carries (h, c) and gate activations; this module's kernel runs the reverse
+time scan for BOTH directions in one grid pass with dh/dc and the dW_hh
+accumulators resident in VMEM. The heavy input-side gradients stay outside
+as single MXU matmuls:
+
+    dX     = dPre @ W_ih^T         dW_ih = X^T dPre        db = sum_t dPre
+
+Packed-sequence masking mirrors the forward: at invalid steps the carries
+pass through untouched and no dPre/dW_hh contribution is made.
+
+Backward recurrences (per direction, processing t = T-1 .. 0):
+    dh_t   = g_out_t + dPre_{t+1} W_hh^T          (carry)
+    do     = dh_t * tanh(c_t)
+    dc_t  += dh_t * o * (1 - tanh(c_t)^2)         (carry)
+    di, df, dg = dc*g, dc*c_{t-1}, dc*i
+    dPre_t = [di i(1-i), df f(1-f), dg (1-g^2), do o(1-o)]
+    dc_{t-1} = dc_t * f
+    dW_hh += h_{t-1}^T dPre_t                     (VMEM accumulator)
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from stjep_tpu.ops import lstm as lstm_ref
+
+
+def _fwd_save_kernel(len_ref, xpf_ref, xpb_ref, whf_ref, whb_ref,
+                     outf_ref, outb_ref, hsf_ref, csf_ref, gf_ref,
+                     hsb_ref, csb_ref, gb_ref, hf, cf, hb, cb):
+    """Forward pass that additionally saves carries and gate activations.
+
+    hs*_ref[t] = h carry BEFORE step t (i.e. h_{t-1}); cs*_ref[t] = c_{t-1};
+    g*_ref[t] = (i,f,g,o) gate values at step t (zero at invalid steps)."""
+    from jax.experimental import pallas as pl
+
+    t = pl.program_id(0)
+    T = pl.num_programs(0)
+    H = hf.shape[-1]
+
+    @pl.when(t == 0)
+    def _init():
+        hf[:] = jnp.zeros_like(hf)
+        cf[:] = jnp.zeros_like(cf)
+        hb[:] = jnp.zeros_like(hb)
+        cb[:] = jnp.zeros_like(cb)
+
+    lens = len_ref[:]
+
+    def one(xp_ref, wh_ref, out_ref, hs_ref, cs_ref, g_ref, h, c, pos):
+        hs_ref[0] = h[:]
+        cs_ref[0] = c[:]
+        pre = xp_ref[0] + jnp.dot(h[:], wh_ref[:],
+                                  preferred_element_type=jnp.float32)
+        i = jax.nn.sigmoid(pre[:, 0 * H:1 * H])
+        f = jax.nn.sigmoid(pre[:, 1 * H:2 * H])
+        g = jnp.tanh(pre[:, 2 * H:3 * H])
+        o = jax.nn.sigmoid(pre[:, 3 * H:4 * H])
+        c_new = f * c[:] + i * g
+        h_new = o * jnp.tanh(c_new)
+        valid = lens > pos
+        g_ref[0] = jnp.where(
+            valid, jnp.concatenate([i, f, g, o], axis=-1),
+            jnp.zeros_like(pre))
+        h[:] = jnp.where(valid, h_new, h[:])
+        c[:] = jnp.where(valid, c_new, c[:])
+        out_ref[0] = jnp.where(valid, h_new, jnp.zeros_like(h_new))
+
+    one(xpf_ref, whf_ref, outf_ref, hsf_ref, csf_ref, gf_ref, hf, cf, t)
+    one(xpb_ref, whb_ref, outb_ref, hsb_ref, csb_ref, gb_ref, hb, cb, T - 1 - t)
+
+
+def _bwd_kernel(len_ref, gof_ref, gob_ref, hsf_ref, csf_ref, gf_ref,
+                hsb_ref, csb_ref, gb_ref, whf_ref, whb_ref,
+                dxpf_ref, dxpb_ref, dwhf_ref, dwhb_ref,
+                dhf, dcf, dhb, dcb, awhf, awhb):
+    """Reverse-time pass; grid step t processes position T-1-t for the
+    forward direction and position t for the backward direction."""
+    from jax.experimental import pallas as pl
+
+    t = pl.program_id(0)
+    T = pl.num_programs(0)
+    H = dhf.shape[-1]
+
+    @pl.when(t == 0)
+    def _init():
+        dhf[:] = jnp.zeros_like(dhf)
+        dcf[:] = jnp.zeros_like(dcf)
+        dhb[:] = jnp.zeros_like(dhb)
+        dcb[:] = jnp.zeros_like(dcb)
+        awhf[:] = jnp.zeros_like(awhf)
+        awhb[:] = jnp.zeros_like(awhb)
+
+    lens = len_ref[:]
+
+    def one(go_ref, hs_ref, cs_ref, g_ref, wh_ref, dxp_ref, awh, dh, dc, pos):
+        gates = g_ref[0]
+        i = gates[:, 0 * H:1 * H]
+        f = gates[:, 1 * H:2 * H]
+        g = gates[:, 2 * H:3 * H]
+        o = gates[:, 3 * H:4 * H]
+        h_prev = hs_ref[0]
+        c_prev = cs_ref[0]
+        c_t = f * c_prev + i * g
+        tanh_c = jnp.tanh(c_t)
+        valid = lens > pos
+
+        dh_t = go_ref[0] + dh[:]
+        do = dh_t * tanh_c
+        dc_t = dc[:] + dh_t * o * (1.0 - tanh_c * tanh_c)
+        di = dc_t * g
+        df = dc_t * c_prev
+        dg = dc_t * i
+        dpre = jnp.concatenate([
+            di * i * (1.0 - i),
+            df * f * (1.0 - f),
+            dg * (1.0 - g * g),
+            do * o * (1.0 - o),
+        ], axis=-1)
+        dpre = jnp.where(valid, dpre, jnp.zeros_like(dpre))
+        dxp_ref[0] = dpre
+        awh[:] += jax.lax.dot_general(
+            h_prev, dpre, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dh_back = jax.lax.dot_general(
+            dpre, wh_ref[:], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dh[:] = jnp.where(valid, dh_back, dh[:])
+        dc[:] = jnp.where(valid, dc_t * f, dc[:])
+
+    one(gof_ref, hsf_ref, csf_ref, gf_ref, whf_ref, dxpf_ref, awhf, dhf, dcf,
+        T - 1 - t)
+    one(gob_ref, hsb_ref, csb_ref, gb_ref, whb_ref, dxpb_ref, awhb, dhb, dcb, t)
+
+    @pl.when(t == T - 1)
+    def _flush():
+        dwhf_ref[:] = awhf[:]
+        dwhb_ref[:] = awhb[:]
+
+
+def _interpret():
+    return jax.default_backend() == "cpu"
+
+
+def _run_fwd_save(params_fwd, params_bwd, x, lengths):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, T, _ = x.shape
+    H = params_fwd["w_hh"].shape[0]
+    xp_f = jnp.swapaxes(
+        x @ params_fwd["w_ih"] + params_fwd["b_ih"] + params_fwd["b_hh"], 0, 1)
+    xp_b = jnp.swapaxes(
+        x @ params_bwd["w_ih"] + params_bwd["b_ih"] + params_bwd["b_hh"], 0, 1)
+    if lengths is None:
+        lengths = jnp.full((B,), T, jnp.int32)
+    len2d = lengths.astype(jnp.int32).reshape(B, 1)
+
+    f32 = jnp.float32
+    step_spec = lambda w: pl.BlockSpec((1, B, w), lambda t: (t, 0, 0),
+                                       memory_space=pltpu.VMEM)
+    rstep_spec = lambda w: pl.BlockSpec((1, B, w), lambda t: (T - 1 - t, 0, 0),
+                                        memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        _fwd_save_kernel,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((B, 1), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            step_spec(4 * H), rstep_spec(4 * H),
+            pl.BlockSpec((H, 4 * H), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, 4 * H), lambda t: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            step_spec(H), rstep_spec(H),          # out_f, out_b
+            step_spec(H), step_spec(H), step_spec(4 * H),    # hs/cs/gates fwd
+            rstep_spec(H), rstep_spec(H), rstep_spec(4 * H),  # hs/cs/gates bwd
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((T, B, H), f32),
+            jax.ShapeDtypeStruct((T, B, H), f32),
+            jax.ShapeDtypeStruct((T, B, H), f32),
+            jax.ShapeDtypeStruct((T, B, H), f32),
+            jax.ShapeDtypeStruct((T, B, 4 * H), f32),
+            jax.ShapeDtypeStruct((T, B, H), f32),
+            jax.ShapeDtypeStruct((T, B, H), f32),
+            jax.ShapeDtypeStruct((T, B, 4 * H), f32),
+        ),
+        scratch_shapes=[pltpu.VMEM((B, H), f32)] * 4,
+        interpret=_interpret(),
+    )(len2d, xp_f, xp_b, params_fwd["w_hh"], params_bwd["w_hh"])
+    (out_f, out_b, hs_f, cs_f, g_f, hs_b, cs_b, g_b) = outs
+    out = jnp.concatenate(
+        [jnp.swapaxes(out_f, 0, 1), jnp.swapaxes(out_b, 0, 1)], axis=-1)
+    residuals = (hs_f, cs_f, g_f, hs_b, cs_b, g_b, len2d)
+    return out, residuals
+
+
+@functools.partial(jax.custom_vjp)
+def bilstm_pallas_trainable(params_fwd, params_bwd, x, lengths):
+    """Fused BiLSTM with a fused Pallas backward — safe for training."""
+    out, _ = _run_fwd_save(params_fwd, params_bwd, x, lengths)
+    return out
+
+
+def _tr_fwd(params_fwd, params_bwd, x, lengths):
+    out, residuals = _run_fwd_save(params_fwd, params_bwd, x, lengths)
+    return out, (params_fwd, params_bwd, x, lengths, residuals)
+
+
+def _tr_bwd(res, g_out):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    params_fwd, params_bwd, x, lengths, residuals = res
+    hs_f, cs_f, g_f, hs_b, cs_b, g_b, len2d = residuals
+    B, T, _ = x.shape
+    H = params_fwd["w_hh"].shape[0]
+    f32 = jnp.float32
+
+    go_f = jnp.swapaxes(g_out[..., :H], 0, 1)   # [T, B, H]
+    go_b = jnp.swapaxes(g_out[..., H:], 0, 1)
+
+    # the bwd grid step t handles fwd position T-1-t and bwd position t
+    fpos = lambda w: pl.BlockSpec((1, B, w), lambda t: (T - 1 - t, 0, 0),
+                                  memory_space=pltpu.VMEM)
+    bpos = lambda w: pl.BlockSpec((1, B, w), lambda t: (t, 0, 0),
+                                  memory_space=pltpu.VMEM)
+    wspec = pl.BlockSpec((H, 4 * H), lambda t: (0, 0), memory_space=pltpu.VMEM)
+    (dxp_f, dxp_b, dwh_f, dwh_b) = pl.pallas_call(
+        _bwd_kernel,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((B, 1), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            fpos(H), bpos(H),
+            fpos(H), fpos(H), fpos(4 * H),
+            bpos(H), bpos(H), bpos(4 * H),
+            wspec, wspec,
+        ],
+        out_specs=(fpos(4 * H), bpos(4 * H), wspec, wspec),
+        out_shape=(
+            jax.ShapeDtypeStruct((T, B, 4 * H), f32),
+            jax.ShapeDtypeStruct((T, B, 4 * H), f32),
+            jax.ShapeDtypeStruct((H, 4 * H), f32),
+            jax.ShapeDtypeStruct((H, 4 * H), f32),
+        ),
+        scratch_shapes=[pltpu.VMEM((B, H), f32)] * 4
+        + [pltpu.VMEM((H, 4 * H), f32)] * 2,
+        interpret=_interpret(),
+    )(len2d, go_f, go_b, hs_f, cs_f, g_f, hs_b, cs_b, g_b,
+      params_fwd["w_hh"], params_bwd["w_hh"])
+
+    dxp_f = jnp.swapaxes(dxp_f, 0, 1)  # [B, T, 4H]
+    dxp_b = jnp.swapaxes(dxp_b, 0, 1)
+
+    def input_grads(p, dxp):
+        flat_x = x.reshape(-1, x.shape[-1])
+        flat_d = dxp.reshape(-1, 4 * H)
+        db = jnp.sum(flat_d, axis=0)
+        return {
+            "w_ih": flat_x.T @ flat_d,
+            "w_hh": None,  # filled below
+            "b_ih": db,
+            "b_hh": db,
+        }
+
+    d_pf = input_grads(params_fwd, dxp_f)
+    d_pf["w_hh"] = dwh_f
+    d_pb = input_grads(params_bwd, dxp_b)
+    d_pb["w_hh"] = dwh_b
+    d_x = dxp_f @ params_fwd["w_ih"].T + dxp_b @ params_bwd["w_ih"].T
+    return d_pf, d_pb, d_x, None
+
+
+bilstm_pallas_trainable.defvjp(_tr_fwd, _tr_bwd)
