@@ -1,0 +1,81 @@
+"""bfloat16 compute path: init, forward, gradients, and a train step."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from stjep_tpu.config import BOS, ModelConfig
+from stjep_tpu.models.seq2seq import forward_eval, forward_train, init_seq2seq
+from stjep_tpu.train.optim import make_optimizer, set_lr
+from stjep_tpu.train.policies import iter_paths
+
+
+def _cfg():
+    return ModelConfig(
+        enc_vocab_size=20, dec_vocab_size=16, enc_embedding_size=8,
+        dec_embedding_size=16, acous_dim=8, acous_hidden_size=8, dim_model=16,
+        dim_feedforward=32, num_heads=4, enc_layers=2, dec_layers=2,
+        num_unilstm_dec=3, spec_aug=True, dropout=0.1,
+        max_seq_len_src=12, max_seq_len_tgt=16, mode="ASR_ST",
+    )
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = _cfg()
+    params = init_seq2seq(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
+    B, T = 2, 16
+    feats = jax.random.normal(jax.random.PRNGKey(1), (B, T, 8), jnp.bfloat16)
+    lens = jnp.array([14, 8])
+    src = jax.random.randint(jax.random.PRNGKey(2), (B, 12), 5, 20).at[:, 0].set(BOS)
+    tgt = jax.random.randint(jax.random.PRNGKey(3), (B, 16), 5, 16).at[:, 0].set(BOS)
+    return cfg, params, feats, lens, src, tgt
+
+
+def test_bf16_params(setup):
+    cfg, params, *_ = setup
+    for path, leaf in iter_paths(params):
+        assert leaf.dtype == jnp.bfloat16, path
+
+
+def test_bf16_forward_train(setup):
+    cfg, params, feats, lens, src, tgt = setup
+    out = forward_train(params, cfg, "ASR_ST", src, tgt=tgt, acous_feats=feats,
+                        acous_lens=lens, rng=jax.random.PRNGKey(4),
+                        is_training=True)
+    assert out["logps_st"].dtype == jnp.bfloat16
+    assert np.isfinite(np.asarray(out["logps_st"], dtype=np.float32)).all()
+
+
+def test_bf16_train_step_updates(setup):
+    cfg, params, feats, lens, src, tgt = setup
+    tx = make_optimizer(1.0)
+    opt_state = set_lr(tx.init(params), 1e-2)
+
+    def loss_fn(p):
+        o = forward_train(p, cfg, "ASR_ST", src, tgt=tgt, acous_feats=feats,
+                          acous_lens=lens, rng=jax.random.PRNGKey(5),
+                          is_training=True)
+        la = -jnp.mean(jnp.take_along_axis(
+            o["logps_asr"].astype(jnp.float32), src[:, 1:, None], axis=2))
+        ld = -jnp.mean(jnp.take_along_axis(
+            o["logps_st"][:, :-1].astype(jnp.float32), tgt[:, 1:, None], axis=2))
+        return la + ld
+
+    l0, grads = jax.value_and_grad(loss_fn)(params)
+    updates, opt_state = tx.update(grads, opt_state, params)
+    new = optax.apply_updates(params, updates)
+    l1 = loss_fn(new)
+    assert np.isfinite(float(l0)) and np.isfinite(float(l1))
+    assert float(l1) < float(l0)
+    # dtype preserved through the update
+    assert new["enc_emb_proj"]["w"].dtype == jnp.bfloat16
+
+
+def test_bf16_greedy_eval_runs(setup):
+    cfg, params, feats, lens, src, tgt = setup
+    out = forward_eval(params, cfg, "ASR_ST", acous_feats=feats, acous_lens=lens)
+    assert out["preds_st"].shape == (2, cfg.max_seq_len_tgt)
