@@ -158,6 +158,33 @@ class Checkpoint:
         return os.path.join(checkpoints_path, all_times[2])
 
 
+def upgrade_params(raw, template, logger=None):
+    """Fill params missing from an older checkpoint with template values.
+
+    The functional analog of the reference's `check_var` back-compat shim
+    that default-injects attributes absent from old pickled models
+    (ref: models/Seq2seq.py:906-914): any leaf present in the template but
+    absent from the loaded tree keeps its freshly-initialised value; loaded
+    leaves with matching shapes win.
+    """
+    from stjep_tpu.train.policies import get_path, has_path, map_with_path
+
+    def fn(name, leaf):
+        path = tuple(name.split("."))
+        if has_path(raw, path):
+            cand = get_path(raw, path)
+            if np.shape(cand) == np.shape(leaf):
+                import jax.numpy as jnp
+
+                return jnp.asarray(cand, dtype=leaf.dtype)
+        if logger is not None:
+            logger.info("checkpoint missing %s - keeping initialised value",
+                        name)
+        return leaf
+
+    return map_with_path(template, fn)
+
+
 def combine_weights(path: str, params_template=None):
     """Average all checkpoints under `path` leaf-wise
     (ref: utils/misc.py:94-113). Returns the averaged params pytree."""

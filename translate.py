@@ -66,8 +66,17 @@ def _load_model(load_dir):
     fields = {f.name for f in dataclasses.fields(ModelConfig)}
     cfg = ModelConfig(**{k: v for k, v in raw.model_config.items() if k in fields})
     template = init_seq2seq(jax.random.PRNGKey(0), cfg)
-    ckpt = Checkpoint.load(load_dir, params_template=template)
-    return cfg, ckpt.params, ckpt
+    try:
+        ckpt = Checkpoint.load(load_dir, params_template=template)
+        params = ckpt.params
+    except Exception:
+        # older checkpoint layout: overlay what matches, keep fresh values
+        # for anything missing (the check_var analog, see upgrade_params)
+        from stjep_tpu.train.checkpoint import upgrade_params
+
+        params = upgrade_params(raw.params, template)
+        ckpt = raw
+    return cfg, params, ckpt
 
 
 def translate(test_set, cfg, params, test_path_out, max_seq_len, beam_width,
