@@ -39,6 +39,7 @@ BENCH = dict(
 
 
 def bench_tpu(n_iters: int = 5):
+    """Returns (beam utt/s f32-parity, beam utt/s bf16-cache, train step/s)."""
     import numpy as np
 
     import jax
@@ -84,19 +85,22 @@ def bench_tpu(n_iters: int = 5):
     ).at[:, 0].set(BOS)
 
     # ---- beam decode (ST: LAS greedy + transformer beam) ----
-    dec = jax.jit(partial(
-        forward_translate, cfg=cfg, mode="ST", beam_width=b["beam"],
-        penalty_factor=1.0, max_seq_len=b["decode_len"],
-    ))
-    out = dec(params, acous_feats=feats, acous_lens=lens)
-    _ = int(np.asarray(out[0, 0]))  # force completion (compile + run)
-    t0 = time.perf_counter()
-    acc = 0
-    for _i in range(n_iters):
+    def _measure_decode(cache_dtype):
+        dec = jax.jit(partial(
+            forward_translate, cfg=cfg, mode="ST", beam_width=b["beam"],
+            penalty_factor=1.0, max_seq_len=b["decode_len"],
+            cache_dtype=cache_dtype,
+        ))
         out = dec(params, acous_feats=feats, acous_lens=lens)
-        acc += int(np.asarray(out[0, 1]))
-    dt = (time.perf_counter() - t0) / n_iters
-    utt_per_s = B / dt
+        _ = int(np.asarray(out[0, 0]))  # force completion (compile + run)
+        t0 = time.perf_counter()
+        for _i in range(n_iters):
+            out = dec(params, acous_feats=feats, acous_lens=lens)
+            _ = int(np.asarray(out[0, 1]))
+        return B / ((time.perf_counter() - t0) / n_iters)
+
+    utt_per_s = _measure_decode(None)  # f32: token-identical parity mode
+    utt_per_s_bf16 = _measure_decode(jnp.bfloat16)  # fast serving mode
 
     # ---- train step (ASR_ST fwd+bwd+adam) ----
     from stjep_tpu.train.optim import make_optimizer, set_lr
@@ -131,11 +135,11 @@ def bench_tpu(n_iters: int = 5):
         _ = float(loss)
     step_per_s = n_iters / (time.perf_counter() - t0)
 
-    return utt_per_s, step_per_s
+    return utt_per_s, utt_per_s_bf16, step_per_s
 
 
 def main():
-    utt_per_s, step_per_s = bench_tpu()
+    utt_per_s, utt_per_s_bf16, step_per_s = bench_tpu()
 
     baseline_path = os.path.join(ROOT, "benchmarks", "reference_baseline.json")
     vs_baseline = None
@@ -154,6 +158,7 @@ def main():
         "unit": "utt/s/chip",
         "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
         "train_step_per_s": round(step_per_s, 4),
+        "beam_decode_bf16_cache_utt_per_s": round(utt_per_s_bf16, 3),
         **extra,
     }
     print(json.dumps(result))
