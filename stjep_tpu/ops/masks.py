@@ -26,6 +26,17 @@ def round_up8(x):
     return x + 8 - x % 8
 
 
+def bucket_length(n: int, bucket: int = 256) -> int:
+    """Round n up to a multiple of `bucket`.
+
+    TPU-native addition: XLA compiles one program per distinct shape, so
+    feeding every batch at its exact round_up8 length would recompile per
+    batch. Bucketing the padded time axis to coarse multiples keeps the
+    number of compiled programs tiny; validity masks make the extra padding
+    semantically inert."""
+    return ((int(n) + bucket - 1) // bucket) * bucket
+
+
 def pad_mask(seq: jnp.ndarray) -> jnp.ndarray:
     """[b, len] ids -> [b, 1, len] bool; True where not PAD.
 

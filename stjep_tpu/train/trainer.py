@@ -96,6 +96,7 @@ class Trainer:
         loss_coeff=None,
         minibatch_partition=1,
         seed=333,
+        acous_bucket=256,
     ):
         self.checkpoint_every = checkpoint_every
         self.print_every = print_every
@@ -124,6 +125,7 @@ class Trainer:
         self.batch_size = batch_size
         self.minibatch_size = max(1, int(self.batch_size / self.minibatch_partition))
         self.seed = seed
+        self.acous_bucket = acous_bucket  # shape-bucketing granularity
         self._root_rng = jax.random.PRNGKey(seed)
         self._step_fn = None
         self._eval_fn_cache: Dict = {}
@@ -141,6 +143,16 @@ class Trainer:
         for k, v in item.items():
             pad_width = [(0, n_rows - B)] + [(0, 0)] * (v.ndim - 1)
             out[k] = np.pad(v, pad_width) if B < n_rows else v
+        if "acous_feat" in out:
+            # bucket the time axis so XLA compiles one train step per bucket
+            # instead of one per distinct batch length
+            from stjep_tpu.ops.masks import bucket_length
+
+            v = out["acous_feat"]
+            T = bucket_length(v.shape[1], self.acous_bucket)
+            if T > v.shape[1]:
+                out["acous_feat"] = np.pad(
+                    v, [(0, 0), (0, T - v.shape[1]), (0, 0)])
         mini = self.minibatch_size
         n_mini = n_rows // mini
         for k, v in out.items():
@@ -294,11 +306,14 @@ class Trainer:
                 ed = min(st + self.minibatch_size, B)
                 kwargs = {}
                 if "acous_feat" in item:
+                    from stjep_tpu.ops.masks import bucket_length
+
                     alen = int(round_up8(max(1, int(max(item["acouslen"][st:ed])))))
-                    alen = min(alen, item["acous_feat"].shape[1])
-                    kwargs["acous_feats"] = jnp.asarray(
-                        item["acous_feat"][st:ed, :alen]
-                    )
+                    alen = bucket_length(alen, self.acous_bucket)
+                    v = item["acous_feat"][st:ed]
+                    if alen > v.shape[1]:
+                        v = np.pad(v, [(0, 0), (0, alen - v.shape[1]), (0, 0)])
+                    kwargs["acous_feats"] = jnp.asarray(v[:, :alen])
                     kwargs["acous_lens"] = jnp.asarray(item["acouslen"][st:ed])
                 if mode in ("MT",):
                     kwargs["src"] = jnp.asarray(item["srcid"][st:ed])

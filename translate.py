@@ -124,10 +124,14 @@ def translate(test_set, cfg, params, test_path_out, max_seq_len, beam_width,
                 ed = min(st + mb, B)
                 kwargs = {}
                 if 'acous_feat' in item:
-                    alen = int(round_up8(int(max(item['acouslen'][st:ed]))))
-                    alen = min(alen, item['acous_feat'].shape[1])
-                    kwargs['acous_feats'] = jnp.asarray(
-                        item['acous_feat'][st:ed, :alen])
+                    from stjep_tpu.ops.masks import bucket_length
+
+                    alen = bucket_length(
+                        int(round_up8(int(max(item['acouslen'][st:ed])))), 256)
+                    v = item['acous_feat'][st:ed]
+                    if alen > v.shape[1]:
+                        v = np.pad(v, [(0, 0), (0, alen - v.shape[1]), (0, 0)])
+                    kwargs['acous_feats'] = jnp.asarray(v[:, :alen])
                     kwargs['acous_lens'] = jnp.asarray(item['acouslen'][st:ed])
                 if gen_mode == 'MT' or refen:
                     kwargs['src'] = jnp.asarray(item['srcid'][st:ed])
