@@ -131,6 +131,10 @@ def load_arguments(parser):
         help='length-bucketed batching for fewer XLA shapes')
     parser.add_argument('--dtype', type=str, default='float32',
         help='compute dtype: float32 | bfloat16')
+    parser.add_argument('--acous_bucket', type=int, default=256,
+        help='acoustic time-axis shape bucket (frames); limits XLA recompiles')
+    parser.add_argument('--remat', type=str, default='False',
+        help='rematerialise transformer layers in backward (saves HBM)')
 
     return parser
 
@@ -232,7 +236,6 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from stjep_tpu.models.las_decoder import embed  # noqa: F401 (API surface)
     from stjep_tpu.models.seq2seq import init_seq2seq
     from stjep_tpu.train import trainer as trainer_mod
     from stjep_tpu.data.dataset import load_pretrained_embedding
@@ -278,6 +281,7 @@ def main():
         max_count_num_rollback=config['max_count_num_rollback'],
         keep_num=config['keep_num'], normalise_loss=config['normalise_loss'],
         loss_coeff=loss_coeff, seed=config['random_seed'],
+        acous_bucket=config['acous_bucket'],
     )
 
     train_sets, dev_sets, vocab_set = build_datasets(config, t)
@@ -301,6 +305,7 @@ def main():
         acous_dim=config['las_acous_dim'],
         acous_hidden_size=config['las_acous_hidden_size'],
         mode=config['mode'], load_mode=config['load_mode'],
+        remat=bool(config['remat']),
     )
     params = init_seq2seq(jax.random.PRNGKey(config['random_seed'] or 0), cfg,
                           dtype=dtype)
