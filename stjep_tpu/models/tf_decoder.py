@@ -13,7 +13,7 @@ which uses eps=1e-6 (ref: TFDec.py:58 vs TFEnc.py:61). Preserved.
 
 from __future__ import annotations
 
-from typing import Dict, List, NamedTuple, Optional, Tuple
+from typing import Dict, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -24,12 +24,8 @@ Backward recurrences (per direction, processing t = T-1 .. 0):
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
-
 import jax
 import jax.numpy as jnp
-
-from stjep_tpu.ops import lstm as lstm_ref
 
 
 def _fwd_save_kernel(len_ref, xpf_ref, xpb_ref, whf_ref, whb_ref,

@@ -35,7 +35,7 @@ from stjep_tpu.train.checkpoint import Checkpoint
 from stjep_tpu.train.optim import make_optimizer, reference_lr, set_lr
 from stjep_tpu.train.policies import apply_load_mode, trainable_mask
 from stjep_tpu.utils.metrics import corpus_bleu
-from stjep_tpu.utils.misc import add2corpus, detok_words, get_memory_alloc
+from stjep_tpu.utils.misc import add2corpus, get_memory_alloc
 from stjep_tpu.utils import misc as _misc
 
 logging.basicConfig(level=logging.INFO)
