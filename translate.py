@@ -176,18 +176,26 @@ def gather_emb(test_set, cfg, params, test_path_out, logger_print=print):
         # mean over all token slots (ref: translate.py:351)
         return jnp.mean(emb.reshape(-1, emb.shape[-1]), axis=0)
 
+    from stjep_tpu.ops.masks import bucket_length
+
     test_set.construct_batches(is_train=False)
     os.makedirs(test_path_out, exist_ok=True)
     lis = []
     for idx in range(len(test_set)):
         logger_print(idx + 1, len(test_set))
         item = test_set.materialise_batch(idx)
-        alen = int(round_up8(int(max(item['acouslen']))))
-        alen = min(alen, item['acous_feat'].shape[1])
+        alen = bucket_length(int(round_up8(int(max(item['acouslen'])))), 256)
+        v = item['acous_feat']
+        if alen > v.shape[1]:
+            v = np.pad(v, [(0, 0), (0, alen - v.shape[1]), (0, 0)])
+        # trim src to the batch's max length (the reference slices
+        # src_ids[:, :src_len], ref: translate.py:122); bucket for XLA
+        slen = min(bucket_length(int(max(item['srclen'])), 32),
+                   item['srcid'].shape[1])
         vec = _dyn(params,
-                   jnp.asarray(item['acous_feat'][:, :alen]),
+                   jnp.asarray(v[:, :alen]),
                    jnp.asarray(item['acouslen']),
-                   jnp.asarray(item['srcid']))
+                   jnp.asarray(item['srcid'][:, :slen]))
         lis.append(np.asarray(vec))
     emb_ave = np.mean(np.stack(lis, axis=0), axis=0)
     path_out = os.path.join(test_path_out, 'dyn_emb_ave.npy')
