@@ -90,7 +90,13 @@ def las_encoder_forward(
     else:
         lens = jnp.minimum(round_up8(acous_lens.astype(jnp.int32)), T)
 
-    use_pallas = USE_PALLAS_LSTM and jax.default_backend() in ("tpu", "axon")
+    # the fused kernel pays a large (cached) compile; for toy sizes the XLA
+    # scan is already fast, so gate by hidden size
+    use_pallas = (
+        USE_PALLAS_LSTM
+        and jax.default_backend() in ("tpu", "axon")
+        and cfg.acous_hidden_size >= 64
+    )
 
     x = acous_feats
     cur_lens = lens
