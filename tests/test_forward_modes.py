@@ -1,0 +1,100 @@
+"""Forward-mode coverage beyond the oracle suites: AE head, share_embedder,
+dec_emb_proj, universal transformer forward, ST-without-ASR free-running."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from stjep_tpu.config import BOS, ModelConfig
+from stjep_tpu.models.seq2seq import forward_eval, forward_train, init_seq2seq
+
+
+def _mk(mode="ASR_ST", **kw):
+    base = dict(
+        enc_vocab_size=20, dec_vocab_size=20, enc_embedding_size=8,
+        dec_embedding_size=16, acous_dim=8, acous_hidden_size=8, dim_model=16,
+        dim_feedforward=32, num_heads=4, enc_layers=2, dec_layers=2,
+        num_unilstm_dec=3, spec_aug=False, dropout=0.0,
+        max_seq_len_src=12, max_seq_len_tgt=16, mode=mode,
+    )
+    base.update(kw)
+    return ModelConfig(**base)
+
+
+def _batch(cfg, B=2, T=16):
+    rng = np.random.RandomState(0)
+    feats = jnp.asarray(rng.randn(B, T, cfg.acous_dim).astype(np.float32))
+    lens = jnp.asarray([T - 2, T // 2])
+    src = jnp.asarray(rng.randint(5, cfg.enc_vocab_size,
+                                  size=(B, cfg.max_seq_len_src))).at[:, 0].set(BOS)
+    tgt = jnp.asarray(rng.randint(5, cfg.dec_vocab_size,
+                                  size=(B, cfg.max_seq_len_tgt))).at[:, 0].set(BOS)
+    return feats, lens, src, tgt
+
+
+def test_ae_asr_mode_has_ae_head():
+    cfg = _mk("AE-ASR")
+    params = init_seq2seq(jax.random.PRNGKey(0), cfg)
+    feats, lens, src, tgt = _batch(cfg)
+    out = forward_train(params, cfg, "AE-ASR", src, acous_feats=feats,
+                        acous_lens=lens, is_training=False)
+    # AE head shares the LAS output layer (ref: Seq2seq.py:172-173, 240-246)
+    assert out["logps_ae"].shape == out["emb_asr"].shape[:2] + (
+        cfg.enc_vocab_size,)
+    assert "preds_ae" in out
+
+
+def test_share_embedder_single_table():
+    cfg = _mk("MT", share_embedder=True)
+    params = init_seq2seq(jax.random.PRNGKey(0), cfg)
+    np.testing.assert_array_equal(np.asarray(params["enc_embedder"]),
+                                  np.asarray(params["dec_embedder"]))
+
+
+def test_dec_emb_proj_created_when_sizes_differ():
+    cfg = _mk("MT", dec_embedding_size=8)  # != dim_model -> projection
+    assert cfg.dec_emb_proj_flag
+    params = init_seq2seq(jax.random.PRNGKey(0), cfg)
+    assert "dec_emb_proj" in params
+    feats, lens, src, tgt = _batch(cfg)
+    out = forward_train(params, cfg, "MT", src, tgt=tgt, is_training=False)
+    assert np.isfinite(np.asarray(out["logps_mt"])).all()
+
+
+def test_st_without_asr_free_running_las():
+    """ST-only training uses a free-running LAS for the dynamic embeddings
+    (ref: Seq2seq.py:484-487)."""
+    cfg = _mk("ST")
+    params = init_seq2seq(jax.random.PRNGKey(0), cfg)
+    feats, lens, src, tgt = _batch(cfg)
+    out = forward_train(params, cfg, "ST", src, tgt=tgt, acous_feats=feats,
+                        acous_lens=lens, is_training=False)
+    assert "logps_st" in out and "logps_asr" not in out
+    out_eval = forward_eval(params, cfg, "ST", acous_feats=feats,
+                            acous_lens=lens)
+    assert out_eval["preds_st"].shape == (2, cfg.max_seq_len_tgt)
+
+
+def test_universal_transformer_forward():
+    cfg = _mk("MT", transformer_type="universal")
+    params = init_seq2seq(jax.random.PRNGKey(0), cfg)
+    assert len(params["enc_src"]["layers"]) == 1  # shared layer
+    feats, lens, src, tgt = _batch(cfg)
+    out = forward_train(params, cfg, "MT", src, tgt=tgt, is_training=False)
+    assert np.isfinite(np.asarray(out["logps_mt"])).all()
+    out_eval = forward_eval(params, cfg, "MT", src=src)
+    assert out_eval["preds_mt"].shape == (2, cfg.max_seq_len_tgt)
+
+
+def test_mode_input_assertions():
+    """ref: Seq2seq.py:416-420 mode/input presence checks."""
+    cfg = _mk("ST")
+    params = init_seq2seq(jax.random.PRNGKey(0), cfg)
+    feats, lens, src, tgt = _batch(cfg)
+    with pytest.raises(AssertionError):
+        forward_train(params, cfg, "ST", src, tgt=None, acous_feats=feats,
+                      acous_lens=lens)
+    with pytest.raises(AssertionError):
+        forward_train(params, cfg, "ST", src, tgt=tgt, acous_feats=None)
