@@ -83,3 +83,21 @@ def print_config(config: Dict):
     print("\n-------- Config --------")
     for key, val in config.items():
         print("{}:{}".format(key, val))
+
+def enable_compilation_cache():
+    """Persistent XLA compilation cache (survives processes and rounds)."""
+    import os
+
+    import jax
+
+    try:
+        cache_dir = os.environ.get(
+            "JAX_COMPILATION_CACHE_DIR",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "..", ".jax_cache"),
+        )
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.abspath(cache_dir))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass

@@ -327,6 +327,9 @@ def main():
         params['emb_dyn_ave'] = jnp.asarray(
             np.load(config['emb_dyn_ave']).reshape(-1), dtype=dtype)
 
+    from stjep_tpu.utils.misc import enable_compilation_cache
+
+    enable_compilation_cache()
     t.logger.info('devices: %s', jax.devices())
     t.train(train_sets, (cfg, params), num_epochs=config['num_epochs'],
             dev_sets=dev_sets, grab_memory=config['grab_memory'])

@@ -271,6 +271,9 @@ def main():
         os.makedirs(test_path_out, exist_ok=True)
         save_config(config, os.path.join(test_path_out, 'eval.cfg'))
 
+    from stjep_tpu.utils.misc import enable_compilation_cache
+
+    enable_compilation_cache()
     cfg, params, ckpt = _load_model(config['load'])
     print('Model dir: {}'.format(config['load']))
     print('Model loaded')
