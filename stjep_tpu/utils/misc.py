@@ -94,7 +94,7 @@ def enable_compilation_cache():
         cache_dir = os.environ.get(
             "JAX_COMPILATION_CACHE_DIR",
             os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                         "..", ".jax_cache"),
+                         "..", "..", ".jax_cache"),
         )
         jax.config.update("jax_compilation_cache_dir",
                           os.path.abspath(cache_dir))
