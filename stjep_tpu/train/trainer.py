@@ -459,6 +459,8 @@ class Trainer:
             for idx, item in enumerate(batch_stream):
                 step += 1
                 step_elapsed += 1
+                if step_elapsed <= 2:
+                    log.info("step %d (first steps include compilation)", step)
                 params, opt_state, losses = self._train_batch(
                     cfg, params, opt_state, item, step
                 )
@@ -479,6 +481,7 @@ class Trainer:
                 if step % self.checkpoint_every == 0 or step == total_steps:
                     if dev_set is None:
                         continue
+                    log.info("evaluating at step %d ...", step)
                     losses_d, metrics = self._evaluate_batches(cfg, params, dev_set)
                     for tag in ("nll_loss_en", "nll_loss_de"):
                         self.writer.add_scalar(
