@@ -65,3 +65,12 @@ def test_position_signal_odd_dim():
     # must not crash for odd d_model
     sig = position_signal(5, 7)
     assert sig.shape == (1, 5, 7)
+
+
+def test_bucket_length():
+    from stjep_tpu.ops.masks import bucket_length
+
+    assert bucket_length(1, 256) == 256
+    assert bucket_length(256, 256) == 256
+    assert bucket_length(257, 256) == 512
+    assert bucket_length(60, 32) == 64
