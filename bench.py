@@ -153,11 +153,30 @@ def bench_tpu(n_iters: int = 5):
         _ = float(loss)
     step_per_s = n_iters / (time.perf_counter() - t0)
 
-    return utt_per_s, utt_per_s_bf16, utt_per_s_serving, step_per_s
+    # ---- bf16 train step (the --dtype bfloat16 CLI path: bf16 params +
+    # activations, f32 Adam moments via optax's dtype-preserving update) ----
+    del params, opt_state
+    params16 = init_seq2seq(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
+    opt_state16 = set_lr(tx.init(params16), 1e-4)
+    step16 = jax.jit(train_step, donate_argnums=(0, 1))
+    params16, opt_state16, loss = step16(params16, opt_state16, feats, lens,
+                                         src, tgt, jax.random.PRNGKey(1))
+    _ = float(loss)
+    t0 = time.perf_counter()
+    for i in range(n_iters):
+        params16, opt_state16, loss = step16(params16, opt_state16, feats,
+                                             lens, src, tgt,
+                                             jax.random.PRNGKey(i))
+        _ = float(loss)
+    step_bf16_per_s = n_iters / (time.perf_counter() - t0)
+
+    return (utt_per_s, utt_per_s_bf16, utt_per_s_serving, step_per_s,
+            step_bf16_per_s)
 
 
 def main():
-    utt_per_s, utt_per_s_bf16, utt_per_s_serving, step_per_s = bench_tpu()
+    (utt_per_s, utt_per_s_bf16, utt_per_s_serving, step_per_s,
+     step_bf16_per_s) = bench_tpu()
 
     baseline_path = os.path.join(ROOT, "benchmarks", "reference_baseline.json")
     vs_baseline = None
@@ -176,6 +195,7 @@ def main():
         "unit": "utt/s/chip",
         "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
         "train_step_per_s": round(step_per_s, 4),
+        "train_step_bf16_per_s": round(step_bf16_per_s, 4),
         "beam_decode_bf16_cache_utt_per_s": round(utt_per_s_bf16, 3),
         "beam_decode_serving_b64_utt_per_s": round(utt_per_s_serving, 3),
         **extra,

@@ -19,6 +19,17 @@ its quirks, so decode output lines match token-for-token:
 The final output equals the reference's `preds.reshape(b, -1)[:, :max_len]`
 after detokenisation (which stops at the first </s>): we return beam 0 (the
 top-scoring beam) per batch, PAD-padded.
+
+Two execution modes share the bookkeeping above:
+
+- XLA mode (`use_flash=False`, the CPU/parity default): dense KV-cache ops,
+  physical cache reorder on reselection. Token-identical to the reference.
+- Flash mode (`use_flash=True`, auto-selected on TPU): the fused Pallas
+  decode kernels (ops/decode_flash.py) — caches live in HBM head-merged,
+  are updated in place, never reordered (gather-at-read ancestry indices
+  are carried instead and resolved inside the attention kernel), and each
+  step streams only the live cache prefix. ~1 ulp numerical difference from
+  the XLA path (online softmax), pinned by tests/test_decode_flash.py.
 """
 
 from __future__ import annotations
@@ -32,7 +43,9 @@ from stjep_tpu.config import BOS, EOS, PAD, ModelConfig
 from stjep_tpu.models.tf_decoder import (
     TFDecCache,
     tf_decoder_init_cache,
+    tf_decoder_init_cache_flash,
     tf_decoder_step,
+    tf_decoder_step_flash,
 )
 from stjep_tpu.ops.attention import linear
 
@@ -78,9 +91,21 @@ def beam_search(
     penalty_factor: float,
     max_seq_len: int,
     cache_dtype=None,
+    use_flash: Optional[bool] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Returns (preds [B, max_seq_len] best-beam tokens BOS-first PAD-padded,
-    scores [B])."""
+    scores [B]). use_flash=None auto-selects the fused Pallas kernels on
+    TPU and the dense XLA path elsewhere (STJEP_FORCE_FLASH=1 forces the
+    kernels in interpret mode on CPU, used by the oracle parity suite)."""
+    if use_flash is None:
+        import os
+
+        use_flash = (jax.default_backend() != "cpu"
+                     or os.environ.get("STJEP_FORCE_FLASH") == "1")
+    if use_flash:
+        return _beam_search_flash(
+            params, cfg, enc_outputs, mem_mask_b, beam_width, penalty_factor,
+            max_seq_len, cache_dtype=cache_dtype)
     B = enc_outputs.shape[0]
     K = beam_width
     BK = B * K
@@ -178,6 +203,127 @@ def beam_search(
     final = jax.lax.while_loop(cond, body, state)
 
     preds_out = final.preds.reshape(B, K, max_seq_len)[:, 0, :]
+    scores_out = final.scores.reshape(B, K)[:, 0]
+    return preds_out, scores_out
+
+
+class FlashBeamState(NamedTuple):
+    i: jnp.ndarray
+    preds: jnp.ndarray  # [B*K, Lbuf]
+    scores: jnp.ndarray
+    eos_mask: jnp.ndarray
+    len_map: jnp.ndarray
+    anc: jnp.ndarray  # [Lbuf, B*K] int32 gather-at-read ancestry (transposed)
+    cache: TFDecCache  # head-merged flash layout, never reordered
+
+
+def _beam_search_flash(
+    params: Dict,
+    cfg: ModelConfig,
+    enc_outputs: jnp.ndarray,
+    mem_mask_b: Optional[jnp.ndarray],
+    beam_width: int,
+    penalty_factor: float,
+    max_seq_len: int,
+    cache_dtype=None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Beam search over the fused Pallas decode kernels.
+
+    Identical k^2->k bookkeeping to the XLA path above; differences are all
+    in the cache plumbing: buffers are padded to the kernel stream block,
+    the KV caches are never reordered (the `anc` carry records each
+    hypothesis's per-position ancestor row and the attention kernel resolves
+    it at read time), and cross-attention memory stays unexpanded."""
+    from stjep_tpu.models.seq2seq import _embed_tgt_token
+    from stjep_tpu.ops.decode_flash import BLOCK, CROSS_BLOCK, pad_len
+
+    B, Lk, _ = enc_outputs.shape
+    K = beam_width
+    BK = B * K
+    Lbuf = pad_len(max_seq_len, BLOCK)
+    Lk_pad = pad_len(Lk, CROSS_BLOCK)
+    max_time = max(max_seq_len, 500)
+
+    if mem_mask_b is None:
+        mem_mask_b = jnp.ones((B, Lk), bool)
+    mem_mask_t = jnp.pad(mem_mask_b, ((0, 0), (0, Lk_pad - Lk))).T
+
+    cache = tf_decoder_init_cache_flash(
+        params["dec_tgt"], cfg, enc_outputs, max_seq_len, K,
+        cache_dtype=cache_dtype)
+    preds = jnp.full((BK, Lbuf), PAD, jnp.int32).at[:, 0].set(BOS)
+    batch_offset = (jnp.arange(B) * (K * K))[:, None]
+    own_row = (jnp.arange(BK, dtype=jnp.int32) % K)[None, :]  # [1, BK]
+
+    def decode_pos(s: FlashBeamState):
+        pos = s.i - 1
+        tok = jax.lax.dynamic_index_in_dim(s.preds, pos, axis=1, keepdims=False)
+        emb = _embed_tgt_token(params, cfg, tok)[:, None, :]
+        dec_out, cache = tf_decoder_step_flash(
+            params["dec_tgt"], cfg, emb, s.cache, pos, s.anc, K,
+            mem_mask_t, (s.preds != PAD).T, max_time=max_time)
+        logits = linear(params["out_tgt"], dec_out[:, 0])
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        score_k, pred_k = jax.lax.top_k(logp, K)
+        return score_k, pred_k.astype(jnp.int32), cache
+
+    def finish_step(state, pred_select, scores, preds, anc, cache):
+        eos_mask = state.eos_mask | (pred_select == EOS)
+        len_map = state.len_map + jnp.where(eos_mask, 0.0, 1.0)
+        return FlashBeamState(
+            i=state.i + 1, preds=preds, scores=scores, eos_mask=eos_mask,
+            len_map=len_map, anc=anc, cache=cache,
+        )
+
+    # step i == 1: keep beam 0's K candidates; ancestry stays all-self
+    # (every row's position-0 BOS K/V is identical within its group)
+    state = FlashBeamState(
+        i=jnp.int32(1), preds=preds,
+        scores=jnp.zeros((BK,), jnp.float32),
+        eos_mask=jnp.zeros((BK,), bool),
+        len_map=jnp.ones((BK,), jnp.float32),
+        anc=jnp.broadcast_to(own_row, (Lbuf, BK)),
+        cache=cache,
+    )
+    score_k, pred_k, cache1 = decode_pos(state)
+    score_sel = score_k.reshape(B, -1)[:, :K].reshape(-1)
+    pred_sel = pred_k.reshape(B, -1)[:, :K].reshape(-1)
+    scores = state.scores + score_sel
+    preds1 = state.preds.at[:, 1].set(pred_sel)
+    state = finish_step(state, pred_sel, scores, preds1, state.anc, cache1)
+
+    def cond(s: FlashBeamState):
+        return (s.i < max_seq_len) & (~jnp.all(s.eos_mask))
+
+    def body(s: FlashBeamState):
+        # position i-1's K/V is written into each row itself this step
+        anc = jax.lax.dynamic_update_slice(s.anc, own_row, (s.i - 1, 0))
+        s = s._replace(anc=anc)
+        score_k, pred_k, cache = decode_pos(s)
+
+        eos_col = jnp.zeros((BK, K), bool).at[:, 1:].set(s.eos_mask[:, None])
+        score_masked = jnp.where(s.eos_mask[:, None], 0.0, score_k)
+        score_masked = jnp.where(eos_col, -1e9, score_masked)
+        score_temp = s.scores[:, None] + score_masked
+        score_temp = score_temp / (s.len_map[:, None] ** penalty_factor)
+
+        score_sel, pos = jax.lax.top_k(score_temp.reshape(B, K * K), K)
+        scores = score_sel.reshape(-1) * (s.len_map**penalty_factor)
+
+        pos_g = pos + batch_offset
+        r_idx = (pos_g // K).reshape(-1)
+        c_idx = (pos_g % K).reshape(-1)
+        pred_sel = pred_k[r_idx, c_idx]
+
+        # prefix back-copy: tokens + ancestry only; the caches stay put
+        preds = s.preds[r_idx]
+        preds = jax.lax.dynamic_update_index_in_dim(preds, pred_sel, s.i, axis=1)
+        anc = anc[:, r_idx]
+        return finish_step(s, pred_sel, scores, preds, anc, cache)
+
+    final = jax.lax.while_loop(cond, body, state)
+
+    preds_out = final.preds.reshape(B, K, Lbuf)[:, 0, :max_seq_len]
     scores_out = final.scores.reshape(B, K)[:, 0]
     return preds_out, scores_out
 

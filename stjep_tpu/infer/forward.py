@@ -118,8 +118,17 @@ def forward_translate(
     beam_width = max(1, beam_width)
     if beam_width == 1:
         # beam width 1 emits exactly the greedy argmax sequence (the k^2->k
-        # selection degenerates to argmax, ref: Seq2seq.py:349-356), so use
-        # the cheaper greedy while_loop with no cache reordering.
+        # selection degenerates to argmax, ref: Seq2seq.py:349-356). On TPU
+        # the fused flash decode path (a width-1 beam) is fastest; on CPU
+        # use the cheaper dense greedy while_loop.
+        import jax as _jax
+
+        if _jax.default_backend() != "cpu":
+            preds, _ = beam_search(
+                params, cfg, enc_out, mem_mask_b, 1, penalty_factor,
+                max_seq_len, cache_dtype=cache_dtype,
+            )
+            return preds
         from stjep_tpu.models.seq2seq import _greedy_decode
 
         preds, _ = _greedy_decode(

@@ -165,6 +165,80 @@ def tf_decoder_init_cache(
     )
 
 
+def tf_decoder_init_cache_flash(
+    params: Dict, cfg: ModelConfig, memory: jnp.ndarray, max_len: int,
+    group: int, cache_dtype=None,
+) -> TFDecCache:
+    """Cache init for the fused Pallas decode path (ops/decode_flash.py).
+
+    Self caches are HEAD-MERGED and GROUP-MAJOR [group, B, Lpad, D] (lane
+    dim = D for packed VMEM tiles and contiguous DMA rows; group-major so
+    the kernel addresses beam rows with static indices), length-padded to
+    the stream block. Memory K/V stay UNexpanded [B, Lk_pad, D] (beam rows
+    tile identical memory) and head-merged; padding rows project to zero
+    (no K/V bias) and are masked at attention time."""
+    from stjep_tpu.ops.attention import linear
+    from stjep_tpu.ops.decode_flash import BLOCK, CROSS_BLOCK, pad_len
+
+    B, Lk, _ = memory.shape
+    Lbuf = pad_len(max_len, BLOCK)
+    Lk_pad = pad_len(Lk, CROSS_BLOCK)
+    mem = jnp.pad(memory, ((0, 0), (0, Lk_pad - Lk), (0, 0)))
+    dt = cache_dtype or memory.dtype
+    mem_ks, mem_vs = [], []
+    for i in range(cfg.dec_layers):
+        ca = _layer_params(params, cfg, i)["encdec_attn"]
+        mem_ks.append(linear(ca["w_ks"], mem).astype(dt))
+        mem_vs.append(linear(ca["w_vs"], mem).astype(dt))
+    zeros = jnp.zeros((group, B, Lbuf, cfg.dim_model), dt)
+    return TFDecCache(
+        self_k=tuple(zeros for _ in range(cfg.dec_layers)),
+        self_v=tuple(zeros for _ in range(cfg.dec_layers)),
+        mem_k=tuple(mem_ks),
+        mem_v=tuple(mem_vs),
+    )
+
+
+def tf_decoder_step_flash(
+    params: Dict,
+    cfg: ModelConfig,
+    x_new: jnp.ndarray,  # [B*K, 1, D] embedded token at position `pos`
+    cache: TFDecCache,  # from tf_decoder_init_cache_flash
+    pos: jnp.ndarray,
+    anc: jnp.ndarray,  # [Lpad, B*K] int32 ancestry TRANSPOSED (0s for greedy)
+    group: int,
+    mem_mask_pad: jnp.ndarray,  # [Lk_pad, B] bool TRANSPOSED (False on pad)
+    self_mask_k: jnp.ndarray,  # [Lpad, B*K] bool TRANSPOSED
+    max_time: int = UPPERBOUND_SEQ_LEN,
+) -> Tuple[jnp.ndarray, TFDecCache]:
+    """Decode position through all layers via the fused Pallas kernels.
+
+    Masks/ancestry are position-major ([L, rows]) so the kernels' block
+    slicing stays on the sublane dimension (see ops/decode_flash.py)."""
+    from stjep_tpu.ops.decode_flash import decoder_layer_step_flash
+
+    time_sig = position_signal(max_time, cfg.dim_model)
+    layer_sig = position_signal(cfg.dec_layers, cfg.dim_model)
+    x = x_new + jax.lax.dynamic_slice_in_dim(time_sig, pos, 1, axis=1).astype(
+        x_new.dtype
+    )
+    self_k = list(cache.self_k)
+    self_v = list(cache.self_v)
+    for layer in range(cfg.dec_layers):
+        if cfg.transformer_type == "universal":
+            x = x + layer_sig[:, layer, :][:, None, :].astype(x.dtype)
+        lp = _layer_params(params, cfg, layer)
+        x, ck, cv = decoder_layer_step_flash(
+            lp, x, self_k[layer], self_v[layer],
+            cache.mem_k[layer], cache.mem_v[layer],
+            pos, cfg.num_heads, anc, group, mem_mask_pad, self_mask_k,
+        )
+        self_k[layer] = ck
+        self_v[layer] = cv
+    x = layer_norm(params["norm"], x, eps=1e-5)
+    return x, cache._replace(self_k=tuple(self_k), self_v=tuple(self_v))
+
+
 def tf_decoder_step(
     params: Dict,
     cfg: ModelConfig,

@@ -1,0 +1,529 @@
+"""Fused Pallas decode-step kernels (ROADMAP #1: the decode megakernel).
+
+A KV-cached decode step through one decoder layer costs ~15 XLA fusions; at
+decode batch sizes (B*K ~ 80 rows) the per-launch overhead and the full-length
+cache reads dominate the ~0.1 ms of useful work. These kernels collapse each
+decoder layer step into THREE pallas_calls:
+
+  1. `self_attn_step`  — pre-LN -> QKV projections -> in-place HBM cache row
+     write -> ancestry-resolved online-softmax attention streamed over ONLY
+     the live cache prefix (blocks <= pos) -> output projection -> residual.
+  2. `cross_attn_step` — pre-LN -> Q projection -> online-softmax attention
+     over the precomputed (UNexpanded) memory K/V streamed in blocks ->
+     output projection -> residual.
+  3. `ffn_step`        — pre-LN -> w1 -> relu -> w2 -> residual.
+
+Key design points (see /opt/skills/guides/pallas_guide.md):
+
+- Caches live in HBM (`pltpu.MemorySpace.HBM`) in HEAD-MERGED, GROUP-MAJOR
+  layout [group, B, Lpad, D] (lane dim = D = n*d so DMA runs are contiguous
+  and VMEM tiles fully packed; group-major so each beam row is a static
+  index — Mosaic rejects the reshapes a b-major layout would need). `Lpad`
+  is `max_seq_len` rounded up to the block size. Per-head math uses a
+  static [D, n] head-selector matmul instead of lane-splitting reshapes.
+- The new position's K/V row is injected in-register into the attention
+  values (a 1-row DMA on the tiled L dim is not legal), and the whole
+  BLOCK-aligned pos-block is flushed back to the aliased cache output after
+  the loop; the caller gets the updated cache back with zero copies.
+- Attention streams K/V blocks HBM->VMEM with double buffering and a
+  DYNAMIC trip count `pos // BLOCK + 1` — a decode step only reads the
+  prefix it can attend to, halving average cache traffic vs dense XLA ops.
+- Beam search never reorders the cache: `anc[s, l]` gives the in-group row
+  that wrote hypothesis-s's position-l K/V (gather-at-read, see
+  infer/beam.py); the select folds into the streamed attention as a
+  one-hot over the (<= beam_width) group rows.
+- Online softmax (flash-attention style m/l/acc carry) keeps only
+  [rows, heads]-sized state; when every position in range is masked the
+  result degenerates to uniform attention over the (masked) range, matching
+  the XLA path's softmax of an all(-1e9) row (ref: modules/layers.py:222-229
+  semantics).
+
+Numerics: computation is f32 (caches may be stored bf16); the online softmax
+re-associates the sum over positions, so outputs can differ from the XLA
+path by ~1 ulp. Greedy decode therefore keeps the XLA path in the default
+token-identical parity mode, and tests/test_decode_flash.py pins this kernel
+against the XLA ancestry path to fp tolerance (plus beam line-parity is
+re-checked end-to-end in tests/test_beam_parity.py with the kernel forced on
+in interpret mode).
+
+Reference semantics mirrored here: LayerNorm on the query input only
+(ref: modules/layers.py:153-160), -1e9 mask fill (ref: layers.py:222-224),
+q pre-scaled by 1/sqrt(d_k) (ref: layers.py:210), FFN LN->w1->relu->w2->
+residual (ref: layers.py:243-251).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+BLOCK = 16  # self-cache positions streamed per DMA; Lpad must be a multiple
+CROSS_BLOCK = 32  # memory positions streamed per DMA in cross-attention
+# The self kernel's working set (2x double-buffered K/V blocks + flush
+# block + 4 [D,D] weights + selection temporaries) exceeds the compiler's
+# default 16 MB scoped-vmem cap at flagship decode shapes, so the attention
+# kernels raise vmem_limit_bytes (v5e VMEM is far larger than the default
+# cap; only one kernel occupies it at a time during serial decode).
+VMEM_LIMIT = 64 * 1024 * 1024
+
+NEG = -1e9  # ops.transformer.ATTN_MASK_FILL
+
+
+def pad_len(n: int, block: int = BLOCK) -> int:
+    return ((n + block - 1) // block) * block
+
+
+def _ln(x, scale, bias, eps=1e-6):
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean((x - mu) ** 2, axis=-1, keepdims=True)
+    return (x - mu) * jax.lax.rsqrt(var + eps) * scale + bias
+
+
+# ---------------------------------------------------------------------------
+# 1. fused self-attention step (ancestry + in-place HBM cache)
+# ---------------------------------------------------------------------------
+
+
+def _head_sel(D: int, n_head: int):
+    """Static [D, n] 0/1 matrix: column h selects head-h's lane chunk.
+
+    Multiplying a merged-head [rows, D] tensor by this on the MXU performs
+    the per-head segmented reduction without any lane-dim reshape (Mosaic
+    rejects vector shape casts that split the lane dimension)."""
+    d = D // n_head
+    return (jax.lax.broadcasted_iota(jnp.int32, (D, n_head), 0) // d
+            == jax.lax.broadcasted_iota(jnp.int32, (D, n_head), 1)
+            ).astype(jnp.float32)
+
+
+def _self_kernel(pos_ref, x_ref, anc_ref, maskk_ref,
+                 lns_ref, lnb_ref, wq_ref, wk_ref, wv_ref, wo_ref,
+                 ck_in, cv_in,
+                 y_ref, ck_out, cv_out,
+                 kbuf, vbuf, kflush_ref, vflush_ref, sem_rd, sem_wr,
+                 *, n_head: int, group: int):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    f32 = jnp.float32
+    BK, D = x_ref.shape
+    d = D // n_head
+    B = BK // group
+    pos = pos_ref[0]
+    hsel = _head_sel(D, n_head)  # [D, n]
+
+    x = x_ref[:]
+    xn = _ln(x, lns_ref[:], lnb_ref[:])
+    q = jnp.dot(xn, wq_ref[:], preferred_element_type=f32) / (d**0.5)
+    k_new = jnp.dot(x, wk_ref[:], preferred_element_type=f32)
+    v_new = jnp.dot(x, wv_ref[:], preferred_element_type=f32)
+
+    # The new position's K/V row is NOT written to HBM up front: a 1-row DMA
+    # slice on the tiled L dim is rejected by Mosaic (8-row alignment). It is
+    # instead injected in-register into the attention values of the block
+    # containing `pos`, and the whole (block-aligned) pos-block is flushed
+    # back to the cache after the loop.
+    nb = pos // BLOCK + 1  # dynamic trip count: only the live prefix
+
+    def rd(i, slot):
+        k_dma = pltpu.make_async_copy(
+            ck_out.at[:, :, pl.ds(i * BLOCK, BLOCK), :], kbuf.at[slot],
+            sem_rd.at[slot, 0])
+        v_dma = pltpu.make_async_copy(
+            cv_out.at[:, :, pl.ds(i * BLOCK, BLOCK), :], vbuf.at[slot],
+            sem_rd.at[slot, 1])
+        return k_dma, v_dma
+
+    k0, v0 = rd(0, 0)
+    k0.start()
+    v0.start()
+
+    m0 = jnp.full((BK, n_head), -1e30, f32)
+    l0 = jnp.zeros((BK, n_head), f32)
+    a0 = jnp.zeros((BK, D), f32)
+
+    def body(i, carry):
+        m, lsum, acc = carry
+        slot = jax.lax.rem(i, 2)
+
+        @pl.when(i + 1 < nb)
+        def _():
+            kn, vn = rd(i + 1, jax.lax.rem(i + 1, 2))
+            kn.start()
+            vn.start()
+
+        kw, vw = rd(i, slot)
+        kw.wait()
+        vw.wait()
+
+        l_start = i * BLOCK
+        # anc/mask arrive TRANSPOSED [L, BK]: the block slice is then a
+        # sublane slice (dynamic lane offsets must be 128-multiples)
+        anc_blk = jnp.swapaxes(
+            anc_ref[pl.ds(l_start, BLOCK), :], 0, 1)  # [BK, BLOCK]
+        msk_blk = jnp.swapaxes(maskk_ref[pl.ds(l_start, BLOCK), :], 0, 1)
+        lidx = l_start + jax.lax.broadcasted_iota(
+            jnp.int32, (BK, BLOCK), 1)
+        valid = (lidx <= pos) & (msk_blk > 0)  # [BK, BLOCK]
+
+        # ancestry-select K/V rows for each hypothesis: a static loop of
+        # selects over the (<= beam width) group rows, no gathers.
+        # NB: bool masks are expanded through f32 (Mosaic can't insert a
+        # minor dim on 1-bit vectors) and re-compared after expansion.
+        ksel = jnp.zeros((BK, BLOCK, D), f32)
+        vsel = jnp.zeros((BK, BLOCK, D), f32)
+        for j in range(group):
+            kj = jnp.broadcast_to(
+                kbuf[slot, j].astype(f32)[:, None], (B, group, BLOCK, D)
+            ).reshape(BK, BLOCK, D)
+            vj = jnp.broadcast_to(
+                vbuf[slot, j].astype(f32)[:, None], (B, group, BLOCK, D)
+            ).reshape(BK, BLOCK, D)
+            take = (anc_blk == j).astype(f32)[:, :, None] > 0.5
+            ksel = jnp.where(take, kj, ksel)
+            vsel = jnp.where(take, vj, vsel)
+
+        # inject the current position's freshly-projected K/V (row `pos` is
+        # not in HBM yet; anc[pos] is each row's own index, so the straight
+        # b-major rows are the right values)
+        atpos = (lidx == pos).astype(f32)[:, :, None] > 0.5
+        ksel = jnp.where(atpos, k_new[:, None, :], ksel)
+        vsel = jnp.where(atpos, v_new[:, None, :], vsel)
+
+        # per-head scores via the head-selector matmul (no lane reshape)
+        prod = q[:, None, :] * ksel  # [BK, BLOCK, D]
+        s = jnp.dot(prod.reshape(BK * BLOCK, D), hsel,
+                    preferred_element_type=f32).reshape(BK, BLOCK, n_head)
+        s = jnp.where(valid.astype(f32)[:, :, None] > 0.5, s, NEG)
+
+        m_blk = jnp.max(s, axis=1)  # [BK, n]
+        m_new = jnp.maximum(m, m_blk)
+        alpha = jnp.exp(m - m_new)
+        p = jnp.exp(s - m_new[:, None, :])  # [BK, BLOCK, n]
+        lsum = lsum * alpha + jnp.sum(p, axis=1)
+
+        # expand per-head weights across their lane chunk and contract the
+        # block on the VPU: ctx[s, h*d+dd] = sum_l p[s,l,h] * vsel[s,l,h*d+dd]
+        p_exp = jnp.dot(p.reshape(BK * BLOCK, n_head), hsel.T,
+                        preferred_element_type=f32).reshape(BK, BLOCK, D)
+        ctx = jnp.sum(p_exp * vsel, axis=1)  # [BK, D]
+        alpha_exp = jnp.dot(alpha, hsel.T, preferred_element_type=f32)
+        acc = acc * alpha_exp + ctx
+        return m_new, lsum, acc
+
+    m, lsum, acc = jax.lax.fori_loop(0, nb, body, (m0, l0, a0))
+    lsum = jnp.where(lsum == 0.0, 1.0, lsum)
+    lsum_exp = jnp.dot(lsum, hsel.T, preferred_element_type=f32)
+    out = acc / lsum_exp
+    y_ref[:] = jnp.dot(out, wo_ref[:], preferred_element_type=f32) + x
+
+    # ---- persist the new K/V row: rewrite the (BLOCK-aligned) pos-block
+    # with the loaded contents + the new row at `pos`. Rows are regrouped
+    # b-major -> group-major with 0/1 row-select matmuls (Mosaic-safe).
+    last = nb - 1
+    slot_last = jax.lax.rem(last, 2)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (B, BK), 1)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (B, BK), 0) * group
+    knew_gm = []
+    vnew_gm = []
+    for j in range(group):
+        pj = (rows == cols + j).astype(f32)  # [B, BK] selects rows b*g+j
+        knew_gm.append(jnp.dot(pj, k_new, preferred_element_type=f32)[None])
+        vnew_gm.append(jnp.dot(pj, v_new, preferred_element_type=f32)[None])
+    knew_gm = jnp.concatenate(knew_gm, axis=0)  # [group, B, D]
+    vnew_gm = jnp.concatenate(vnew_gm, axis=0)
+    inblk = jax.lax.broadcasted_iota(
+        jnp.int32, (group, B, BLOCK, 1), 2) == (pos - last * BLOCK)
+    kflush_ref[:] = jnp.where(
+        inblk, knew_gm[:, :, None, :],
+        kbuf[slot_last].astype(f32)).astype(kflush_ref.dtype)
+    vflush_ref[:] = jnp.where(
+        inblk, vnew_gm[:, :, None, :],
+        vbuf[slot_last].astype(f32)).astype(vflush_ref.dtype)
+    fk = pltpu.make_async_copy(
+        kflush_ref, ck_out.at[:, :, pl.ds(last * BLOCK, BLOCK), :],
+        sem_wr.at[0])
+    fv = pltpu.make_async_copy(
+        vflush_ref, cv_out.at[:, :, pl.ds(last * BLOCK, BLOCK), :],
+        sem_wr.at[1])
+    fk.start()
+    fv.start()
+    fk.wait()
+    fv.wait()
+
+
+def self_attn_step(
+    params: Dict,  # mha params: w_qs/w_ks/w_vs/fc/layer_norm
+    x_new: jnp.ndarray,  # [B*K, 1, D]
+    cache_k: jnp.ndarray,  # [K, B, Lpad, D] GROUP-MAJOR head-merged (HBM)
+    cache_v: jnp.ndarray,
+    pos: jnp.ndarray,
+    n_head: int,
+    anc: jnp.ndarray,  # [Lpad, B*K] int32 TRANSPOSED (all-zeros for greedy)
+    group: int,
+    mask_k: jnp.ndarray,  # [Lpad, B*K] bool TRANSPOSED, True=attendable
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Returns (y [B*K,1,D], cache_k, cache_v) — caches updated in place.
+
+    Row s = b*group + k of the logical [B*K] batch lives at cache[k, b]
+    (group-major storage lets the kernel address beam rows with static
+    indices instead of Mosaic-unsupported reshapes). anc/mask_k arrive
+    position-major so block slicing is a sublane slice."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    BK, _, D = x_new.shape
+    L = cache_k.shape[2]
+    assert cache_k.shape[:2] == (group, BK // group)
+    assert anc.shape == (L, BK) and mask_k.shape == (L, BK)
+    assert L % BLOCK == 0, f"cache length {L} not a multiple of {BLOCK}"
+    f32 = jnp.float32
+    cdt = cache_k.dtype
+    B = BK // group
+
+    args = (
+        jnp.asarray(pos, jnp.int32).reshape(1),
+        x_new[:, 0, :].astype(f32),
+        anc.astype(jnp.int32),
+        mask_k.astype(jnp.int32),
+        params["layer_norm"]["scale"], params["layer_norm"]["bias"],
+        params["w_qs"]["w"], params["w_ks"]["w"], params["w_vs"]["w"],
+        params["fc"]["w"],
+        cache_k, cache_v,
+    )
+    vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    hbm = (pl.ANY if jax.default_backend() == "cpu"
+           else pltpu.MemorySpace.HBM)  # interpret mode needs ANY
+    anyspace = lambda: pl.BlockSpec(memory_space=hbm)
+    in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] + \
+        [vmem() for _ in range(9)] + [anyspace(), anyspace()]
+    out_shape = (
+        jax.ShapeDtypeStruct((BK, D), f32),
+        jax.ShapeDtypeStruct((group, B, L, D), cdt),
+        jax.ShapeDtypeStruct((group, B, L, D), cdt),
+    )
+    y, ck, cv = pl.pallas_call(
+        functools.partial(_self_kernel, n_head=n_head, group=group),
+        in_specs=in_specs,
+        out_specs=(vmem(), anyspace(), anyspace()),
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((2, group, B, BLOCK, D), cdt),  # kbuf
+            pltpu.VMEM((2, group, B, BLOCK, D), cdt),  # vbuf
+            pltpu.VMEM((group, B, BLOCK, D), cdt),  # kflush
+            pltpu.VMEM((group, B, BLOCK, D), cdt),  # vflush
+            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        input_output_aliases={10: 1, 11: 2},
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
+        interpret=jax.default_backend() == "cpu",
+    )(*args)
+    return y[:, None, :], ck, cv
+
+
+# ---------------------------------------------------------------------------
+# 2. fused cross-attention step (unexpanded memory, static block count)
+# ---------------------------------------------------------------------------
+
+
+def _cross_kernel(x_ref, memmask_ref,
+                  lns_ref, lnb_ref, wq_ref, wo_ref,
+                  mk_hbm, mv_hbm,
+                  y_ref,
+                  kbuf, vbuf, sem_rd,
+                  *, n_head: int, group: int, bs: int):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    f32 = jnp.float32
+    BK, D = x_ref.shape
+    B, Lk, _ = mk_hbm.shape
+    d = D // n_head
+    nb = Lk // bs
+    hsel = _head_sel(D, n_head)
+    # [BK, B] 0/1: row s=(b,k) <- batch entry b
+    expand = (jax.lax.broadcasted_iota(jnp.int32, (BK, B), 0) // group
+              == jax.lax.broadcasted_iota(jnp.int32, (BK, B), 1)
+              ).astype(f32)
+
+    x = x_ref[:]
+    xn = _ln(x, lns_ref[:], lnb_ref[:])
+    q = jnp.dot(xn, wq_ref[:], preferred_element_type=f32) / (d**0.5)
+
+    def rd(i, slot):
+        k_dma = pltpu.make_async_copy(
+            mk_hbm.at[:, pl.ds(i * bs, bs), :], kbuf.at[slot],
+            sem_rd.at[slot, 0])
+        v_dma = pltpu.make_async_copy(
+            mv_hbm.at[:, pl.ds(i * bs, bs), :], vbuf.at[slot],
+            sem_rd.at[slot, 1])
+        return k_dma, v_dma
+
+    k0, v0 = rd(0, 0)
+    k0.start()
+    v0.start()
+
+    m0 = jnp.full((BK, n_head), -1e30, f32)
+    l0 = jnp.zeros((BK, n_head), f32)
+    a0 = jnp.zeros((BK, D), f32)
+
+    def body(i, carry):
+        m, lsum, acc = carry
+        slot = jax.lax.rem(i, 2)
+
+        @pl.when(i + 1 < nb)
+        def _():
+            kn, vn = rd(i + 1, jax.lax.rem(i + 1, 2))
+            kn.start()
+            vn.start()
+
+        kw, vw = rd(i, slot)
+        kw.wait()
+        vw.wait()
+
+        # memory rows are shared by all `group` beam rows of a batch entry
+        kblk = jnp.broadcast_to(
+            kbuf[slot].astype(f32)[:, None], (B, group, bs, D)
+        ).reshape(BK, bs, D)
+        vblk = jnp.broadcast_to(
+            vbuf[slot].astype(f32)[:, None], (B, group, bs, D)
+        ).reshape(BK, bs, D)
+        # mask arrives TRANSPOSED [Lk, B]; beam-expand rows via the 0/1
+        # expansion matmul (no sublane-merging reshapes)
+        mm = jnp.swapaxes(
+            memmask_ref[pl.ds(i * bs, bs), :], 0, 1).astype(f32)  # [B, bs]
+        msk = jnp.dot(expand, mm, preferred_element_type=f32)  # [BK, bs] f32
+
+        prod = q[:, None, :] * kblk  # [BK, bs, D]
+        s = jnp.dot(prod.reshape(BK * bs, D), hsel,
+                    preferred_element_type=f32).reshape(BK, bs, n_head)
+        s = jnp.where(msk[:, :, None] > 0.5, s, NEG)
+
+        m_blk = jnp.max(s, axis=1)
+        m_new = jnp.maximum(m, m_blk)
+        alpha = jnp.exp(m - m_new)
+        p = jnp.exp(s - m_new[:, None, :])
+        lsum = lsum * alpha + jnp.sum(p, axis=1)
+        p_exp = jnp.dot(p.reshape(BK * bs, n_head), hsel.T,
+                        preferred_element_type=f32).reshape(BK, bs, D)
+        ctx = jnp.sum(p_exp * vblk, axis=1)
+        alpha_exp = jnp.dot(alpha, hsel.T, preferred_element_type=f32)
+        acc = acc * alpha_exp + ctx
+        return m_new, lsum, acc
+
+    m, lsum, acc = jax.lax.fori_loop(0, nb, body, (m0, l0, a0))
+    lsum = jnp.where(lsum == 0.0, 1.0, lsum)
+    lsum_exp = jnp.dot(lsum, hsel.T, preferred_element_type=f32)
+    out = acc / lsum_exp
+    y_ref[:] = jnp.dot(out, wo_ref[:], preferred_element_type=f32) + x
+
+
+def cross_attn_step(
+    params: Dict,  # mha params: w_qs/fc/layer_norm (K/V precomputed)
+    x_new: jnp.ndarray,  # [B*K, 1, D]
+    mem_k: jnp.ndarray,  # [B, Lk_pad, D] head-merged projections
+    mem_v: jnp.ndarray,
+    n_head: int,
+    group: int,
+    mem_mask: jnp.ndarray,  # [Lk_pad, B] bool TRANSPOSED (False on padding)
+    bs: int = CROSS_BLOCK,
+) -> jnp.ndarray:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    BK, _, D = x_new.shape
+    B, Lk, _ = mem_k.shape
+    assert Lk % bs == 0, f"memory length {Lk} not a multiple of {bs}"
+    f32 = jnp.float32
+    mdt = mem_k.dtype
+
+    args = (
+        x_new[:, 0, :].astype(f32),
+        mem_mask.astype(jnp.int32),
+        params["layer_norm"]["scale"], params["layer_norm"]["bias"],
+        params["w_qs"]["w"], params["fc"]["w"],
+        mem_k, mem_v,
+    )
+    vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    hbm = (pl.ANY if jax.default_backend() == "cpu"
+           else pltpu.MemorySpace.HBM)  # interpret mode needs ANY
+    anyspace = lambda: pl.BlockSpec(memory_space=hbm)
+    y = pl.pallas_call(
+        functools.partial(_cross_kernel, n_head=n_head, group=group, bs=bs),
+        in_specs=[vmem() for _ in range(6)] + [anyspace(), anyspace()],
+        out_specs=vmem(),
+        out_shape=jax.ShapeDtypeStruct((BK, D), f32),
+        scratch_shapes=[
+            pltpu.VMEM((2, B, bs, D), mdt),
+            pltpu.VMEM((2, B, bs, D), mdt),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
+        interpret=jax.default_backend() == "cpu",
+    )(*args)
+    return y[:, None, :]
+
+
+# ---------------------------------------------------------------------------
+# 3. fused FFN step
+# ---------------------------------------------------------------------------
+
+
+def _ffn_kernel(x_ref, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                y_ref):
+    f32 = jnp.float32
+    x = x_ref[:]
+    xn = _ln(x, lns_ref[:], lnb_ref[:])
+    h = jnp.maximum(
+        jnp.dot(xn, w1_ref[:], preferred_element_type=f32) + b1_ref[:], 0.0)
+    y_ref[:] = x + jnp.dot(h, w2_ref[:], preferred_element_type=f32) + b2_ref[:]
+
+
+def ffn_step(params: Dict, x_new: jnp.ndarray) -> jnp.ndarray:
+    """x_new: [B*K, 1, D]. LN -> w1 -> relu -> w2 -> residual, one launch."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    BK, _, D = x_new.shape
+    vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    y = pl.pallas_call(
+        _ffn_kernel,
+        in_specs=[vmem() for _ in range(7)],
+        out_specs=vmem(),
+        out_shape=jax.ShapeDtypeStruct((BK, D), jnp.float32),
+        interpret=jax.default_backend() == "cpu",
+    )(
+        x_new[:, 0, :].astype(jnp.float32),
+        params["layer_norm"]["scale"], params["layer_norm"]["bias"],
+        params["w_1"]["w"], params["w_1"]["b"],
+        params["w_2"]["w"], params["w_2"]["b"],
+    )
+    return y[:, None, :]
+
+
+def decoder_layer_step_flash(
+    params: Dict,  # decoder layer: decslf_attn / encdec_attn / pos_ffn
+    x_new: jnp.ndarray,  # [B*K, 1, D]
+    cache_k: jnp.ndarray,  # [B*K, Lpad, D]
+    cache_v: jnp.ndarray,
+    mem_k: jnp.ndarray,  # [B, Lk_pad, D]
+    mem_v: jnp.ndarray,
+    pos: jnp.ndarray,
+    n_head: int,
+    anc: jnp.ndarray,  # [Lpad, B*K] transposed
+    group: int,
+    mem_mask: jnp.ndarray,  # [Lk_pad, B] transposed
+    self_mask_k: jnp.ndarray,  # [Lpad, B*K] transposed
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Full decoder-layer decode step in three fused launches."""
+    y, ck, cv = self_attn_step(
+        params["decslf_attn"], x_new, cache_k, cache_v, pos, n_head, anc,
+        group, self_mask_k)
+    y = cross_attn_step(
+        params["encdec_attn"], y, mem_k, mem_v, n_head, group, mem_mask)
+    y = ffn_step(params["pos_ffn"], y)
+    return y, ck, cv

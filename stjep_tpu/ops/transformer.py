@@ -185,6 +185,128 @@ def mha_self_step(
     return out + residual, KVCache(k=k, v=v)
 
 
+def mha_self_step_ancestry(
+    params: Dict,
+    x_new: jnp.ndarray,  # [B*K, 1, D] the newest position, beam-expanded
+    cache: KVCache,  # [B*K, n, Lmax, d] — rows are NEVER physically reordered
+    pos: jnp.ndarray,  # scalar int32
+    n_head: int,
+    anc: jnp.ndarray,  # [B*K, Lmax] int32 in-group ancestor index per position
+    group: int,  # beam width K (rows s = b*K + k)
+    mask_k: Optional[jnp.ndarray] = None,  # [B*K, Lmax] bool True=attendable
+) -> Tuple[jnp.ndarray, KVCache]:
+    """Beam self-attention with gather-at-read ancestry (ROADMAP #2).
+
+    Instead of physically permuting the K/V caches on every beam reselection
+    (read+write of the full cache per step), rows stay where they were
+    written and `anc[s, l]` records which row within s's beam group holds the
+    K/V of hypothesis-s's token at position l (K/V at a position depend only
+    on that position's token, so sharing is exact). The permutation resolves
+    at read time:
+
+      scores[s, n, l] = q[s, n] . K[b*K + anc[s, l], n, l]
+
+    computed as scores against ALL group rows (a K-times-larger einsum over
+    otherwise-idle MXU cycles) followed by an exact take_along_axis select;
+    the context gather rides the attention einsum through a one-hot factor.
+
+    `anc[s, pos]` must already be s's own group index (the caller writes the
+    current position into row s itself just below).
+    """
+    d_k = params["w_qs"]["w"].shape[1] // n_head
+    residual = x_new
+    qn = layer_norm(params["layer_norm"], x_new, eps=1e-6)
+    qh = _split_heads(linear(params["w_qs"], qn), n_head)  # [BK, n, 1, d]
+    k_new = _split_heads(linear(params["w_ks"], x_new), n_head)
+    v_new = _split_heads(linear(params["w_vs"], x_new), n_head)
+
+    k = jax.lax.dynamic_update_slice(
+        cache.k, k_new.astype(cache.k.dtype), (0, 0, pos, 0))
+    v = jax.lax.dynamic_update_slice(
+        cache.v, v_new.astype(cache.v.dtype), (0, 0, pos, 0))
+
+    BK, n, L, d = k.shape
+    B = BK // group
+    kg = k.reshape(B, group, n, L, d)
+    vg = v.reshape(B, group, n, L, d)
+    qg = (qh[:, :, 0, :] / (d_k**0.5)).reshape(B, group, n, d)
+    ancg = anc.reshape(B, group, L)
+
+    # [B, K(query), n, J(cache row), L]
+    scores_all = jnp.einsum("bknd,bjnld->bknjl", qg, kg)
+    idx = jnp.broadcast_to(ancg[:, :, None, None, :].astype(jnp.int32),
+                           (B, group, n, 1, L))
+    scores = jnp.take_along_axis(scores_all, idx, axis=3)[:, :, :, 0, :]
+
+    valid = jnp.arange(L) <= pos
+    if mask_k is not None:
+        valid = valid[None, :] & mask_k
+        valid = valid.reshape(B, group, 1, L)
+    else:
+        valid = valid[None, None, None, :]
+    scores = jnp.where(valid, scores, ATTN_MASK_FILL)
+    attn = jax.nn.softmax(scores, axis=-1)  # [B, K, n, L]
+
+    onehot = (ancg[:, :, None, :] == jnp.arange(group)[:, None]).astype(attn.dtype)
+    w = attn[:, :, :, None, :] * onehot[:, :, None, :, :]  # [B, K, n, J, L]
+    ctx = jnp.einsum("bknjl,bjnld->bknd", w, vg)
+    out = linear(params["fc"], ctx.reshape(BK, 1, n * d))
+    return out + residual, KVCache(k=k, v=v)
+
+
+def mha_cross_step_grouped(
+    params: Dict,
+    x_new: jnp.ndarray,  # [B*K, 1, D]
+    mem_kv: KVCache,  # [B, n, Lk, d] — UNexpanded memory projections
+    n_head: int,
+    group: int,
+    mem_mask_b: Optional[jnp.ndarray] = None,  # [B, Lk] bool True=attendable
+) -> jnp.ndarray:
+    """Cross-attention for beam decode against unexpanded memory K/V.
+
+    The beam-expanded memory rows within a batch group are identical tiles;
+    reading the [B, ...] projections once per step instead of [B*K, ...]
+    cuts cross-attention HBM traffic by the beam width.
+    """
+    d_k = params["w_qs"]["w"].shape[1] // n_head
+    residual = x_new
+    qn = layer_norm(params["layer_norm"], x_new, eps=1e-6)
+    qh = _split_heads(linear(params["w_qs"], qn), n_head)  # [BK, n, 1, d]
+    BK = x_new.shape[0]
+    B = BK // group
+    qg = (qh[:, :, 0, :] / (d_k**0.5)).reshape(B, group, n_head, -1)
+    scores = jnp.einsum("bknd,bnld->bknl", qg, mem_kv.k)  # [B, K, n, Lk]
+    if mem_mask_b is not None:
+        scores = jnp.where(mem_mask_b[:, None, None, :], scores, ATTN_MASK_FILL)
+    attn = jax.nn.softmax(scores, axis=-1)
+    ctx = jnp.einsum("bknl,bnld->bknd", attn, mem_kv.v)
+    out = linear(params["fc"], ctx.reshape(BK, 1, -1))
+    return out + residual
+
+
+def decoder_layer_step_beam(
+    params,
+    x_new: jnp.ndarray,  # [B*K, 1, D]
+    self_cache: KVCache,  # [B*K, n, L, d], never reordered
+    mem_kv: KVCache,  # [B, n, Lk, d] unexpanded
+    pos: jnp.ndarray,
+    n_head: int,
+    anc: jnp.ndarray,  # [B*K, L]
+    group: int,
+    mem_mask_b: Optional[jnp.ndarray] = None,  # [B, Lk]
+    self_mask_k: Optional[jnp.ndarray] = None,  # [B*K, L]
+) -> Tuple[jnp.ndarray, KVCache]:
+    """Beam decode position through a decoder layer (eval only)."""
+    y, self_cache = mha_self_step_ancestry(
+        params["decslf_attn"], x_new, self_cache, pos, n_head, anc, group,
+        mask_k=self_mask_k,
+    )
+    y = mha_cross_step_grouped(
+        params["encdec_attn"], y, mem_kv, n_head, group, mem_mask_b=mem_mask_b)
+    y = ffn(params["pos_ffn"], y, deterministic=True)
+    return y, self_cache
+
+
 def mha_cross_precompute(params: Dict, memory: jnp.ndarray, n_head: int) -> KVCache:
     """Project encoder memory K/V once for all decode steps."""
     kh = _split_heads(linear(params["w_ks"], memory), n_head)

@@ -1,0 +1,160 @@
+"""Fused Pallas decode-step kernels (ops/decode_flash.py) vs the XLA path.
+
+Runs in pallas interpret mode on CPU. Two layers of pinning:
+
+1. decoder_layer_step_flash == decoder_layer_step_beam (the XLA ancestry
+   path, itself pinned against physical reorder in test_transformer.py)
+   across a simulated multi-step beam trace with random reselections.
+2. End-to-end: _beam_search_flash token output == the dense XLA beam_search
+   on a tiny random model.
+"""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from stjep_tpu.ops.decode_flash import (
+    BLOCK,
+    CROSS_BLOCK,
+    decoder_layer_step_flash,
+    pad_len,
+)
+from stjep_tpu.ops.transformer import (
+    KVCache,
+    decoder_layer_init,
+    decoder_layer_step_beam,
+    mha_cross_precompute,
+)
+from stjep_tpu.ops.attention import linear
+
+
+def _np(x):
+    return np.asarray(x)
+
+
+def test_flash_layer_step_matches_xla_ancestry():
+    rng = np.random.RandomState(7)
+    B, K, d_model, n_head, Lk = 2, 3, 16, 4, 5
+    BK = B * K
+    L = BLOCK  # one stream block is enough to cover 6 positions
+    Lk_pad = pad_len(Lk, CROSS_BLOCK)
+    d_k = d_model // n_head
+    p = decoder_layer_init(jax.random.PRNGKey(0), d_model, n_head, d_model * 2)
+
+    mem = jnp.asarray(rng.randn(B, Lk, d_model).astype(np.float32))
+    mem_mask_b = np.ones((B, Lk), dtype=bool)
+    mem_mask_b[:, 4:] = False
+
+    # XLA ancestry path caches (head-split, unexpanded memory)
+    mem_kv = mha_cross_precompute(p["encdec_attn"], mem, n_head)
+    zeros = jnp.zeros((BK, n_head, L, d_k))
+    cache_xla = KVCache(k=zeros, v=zeros)
+
+    # flash path caches (head-merged, padded)
+    mem_pad = jnp.pad(mem, ((0, 0), (0, Lk_pad - Lk), (0, 0)))
+    fmem_k = linear(p["encdec_attn"]["w_ks"], mem_pad)
+    fmem_v = linear(p["encdec_attn"]["w_vs"], mem_pad)
+    fck = jnp.zeros((K, B, L, d_model))
+    fcv = jnp.zeros((K, B, L, d_model))
+    mem_mask_pad = jnp.pad(jnp.asarray(mem_mask_b),
+                           ((0, 0), (0, Lk_pad - Lk)))
+
+    anc = jnp.broadcast_to(
+        (jnp.arange(BK, dtype=jnp.int32) % K)[:, None], (BK, L))
+    own = (jnp.arange(BK, dtype=jnp.int32) % K)[:, None]
+    mask_k = jnp.asarray(rng.rand(BK, L) > 0.2)
+
+    for t in range(6):
+        x_t = jnp.asarray(rng.randn(BK, 1, d_model).astype(np.float32))
+        mk = mask_k.at[:, t].set(True)
+        anc = jax.lax.dynamic_update_slice(anc, own, (0, jnp.int32(t)))
+
+        y_xla, cache_xla = decoder_layer_step_beam(
+            p, x_t, cache_xla, mem_kv, jnp.int32(t), n_head, anc, K,
+            mem_mask_b=jnp.asarray(mem_mask_b), self_mask_k=mk)
+        y_fl, fck, fcv = decoder_layer_step_flash(
+            p, x_t, fck, fcv, fmem_k, fmem_v, jnp.int32(t), n_head, anc.T, K,
+            mem_mask_pad.T, mk.T)
+        np.testing.assert_allclose(
+            _np(y_fl), _np(y_xla), rtol=3e-5, atol=3e-6,
+            err_msg=f"step {t}")
+
+        r_in = rng.randint(0, K, size=(BK,))
+        r_idx = jnp.asarray((np.arange(BK) // K) * K + r_in, dtype=jnp.int32)
+        anc = anc[r_idx]
+        mask_k = mk[r_idx]
+        # XLA path: the physically-indexed equivalent of the anc gather is
+        # nothing at all (its ancestry is the same anc) — both paths read
+        # through anc, so caches stay put in both.
+
+
+def test_flash_layer_step_greedy_group1():
+    """group=1 (greedy): anc is all zeros, kernel must reduce to plain
+    causal cached attention."""
+    from stjep_tpu.ops.transformer import decoder_layer_step
+
+    rng = np.random.RandomState(11)
+    B, d_model, n_head, Lk = 3, 16, 4, 7
+    L = BLOCK
+    Lk_pad = pad_len(Lk, CROSS_BLOCK)
+    d_k = d_model // n_head
+    p = decoder_layer_init(jax.random.PRNGKey(1), d_model, n_head, d_model * 2)
+
+    mem = jnp.asarray(rng.randn(B, Lk, d_model).astype(np.float32))
+    mem_kv = mha_cross_precompute(p["encdec_attn"], mem, n_head)
+    zeros = jnp.zeros((B, n_head, L, d_k))
+    cache = KVCache(k=zeros, v=zeros)
+
+    mem_pad = jnp.pad(mem, ((0, 0), (0, Lk_pad - Lk), (0, 0)))
+    fmem_k = linear(p["encdec_attn"]["w_ks"], mem_pad)
+    fmem_v = linear(p["encdec_attn"]["w_vs"], mem_pad)
+    fck = jnp.zeros((1, B, L, d_model))
+    fcv = jnp.zeros((1, B, L, d_model))
+    mem_mask_pad = jnp.pad(jnp.ones((B, Lk), bool),
+                           ((0, 0), (0, Lk_pad - Lk)))
+    anc = jnp.zeros((B, L), jnp.int32)
+    mask_k = jnp.ones((B, L), bool)
+
+    for t in range(5):
+        x_t = jnp.asarray(rng.randn(B, 1, d_model).astype(np.float32))
+        y_ref, cache = decoder_layer_step(
+            p, x_t, cache, mem_kv, jnp.int32(t), n_head, self_mask_k=mask_k)
+        y_fl, fck, fcv = decoder_layer_step_flash(
+            p, x_t, fck, fcv, fmem_k, fmem_v, jnp.int32(t), n_head, anc.T, 1,
+            mem_mask_pad.T, mask_k.T)
+        np.testing.assert_allclose(
+            _np(y_fl), _np(y_ref), rtol=3e-5, atol=3e-6, err_msg=f"step {t}")
+
+
+def test_flash_beam_search_matches_xla_beam():
+    """End-to-end token parity between the flash and XLA beam modes."""
+    from stjep_tpu.config import ModelConfig
+    from stjep_tpu.infer.beam import beam_search
+    from stjep_tpu.models.seq2seq import init_seq2seq
+
+    cfg = ModelConfig(
+        enc_vocab_size=50, dec_vocab_size=40,
+        enc_embedding_size=16, dec_embedding_size=16,
+        acous_dim=8, acous_hidden_size=8,
+        dim_model=16, dim_feedforward=32, num_heads=4,
+        enc_layers=2, dec_layers=2, num_unilstm_dec=1,
+        max_seq_len_src=12, max_seq_len_tgt=18, mode="MT",
+    )
+    params = init_seq2seq(jax.random.PRNGKey(2), cfg)
+    rng = np.random.RandomState(5)
+    B, Lk = 3, 9
+    enc_out = jnp.asarray(0.3 * rng.randn(B, Lk, cfg.dim_model)
+                          .astype(np.float32))
+    mem_mask = np.ones((B, Lk), dtype=bool)
+    mem_mask[1, 7:] = False
+    mem_mask = jnp.asarray(mem_mask)
+
+    for K in (1, 3):
+        preds_x, scores_x = beam_search(
+            params, cfg, enc_out, mem_mask, K, 1.0, 14, use_flash=False)
+        preds_f, scores_f = beam_search(
+            params, cfg, enc_out, mem_mask, K, 1.0, 14, use_flash=True)
+        np.testing.assert_array_equal(_np(preds_x), _np(preds_f))
+        np.testing.assert_allclose(_np(scores_x), _np(scores_f),
+                                   rtol=1e-4, atol=1e-5)

@@ -126,3 +126,57 @@ def test_attn_dropout_active_in_training():
     out1, _ = mha(p, x, x, x, 2, rng=jax.random.PRNGKey(1), deterministic=False)
     out2, _ = mha(p, x, x, x, 2, rng=jax.random.PRNGKey(2), deterministic=False)
     assert not np.allclose(_np(out1), _np(out2))
+
+
+def test_beam_ancestry_step_matches_physical_reorder():
+    """Gather-at-read beam attention == physically reordered caches.
+
+    Simulates 6 beam steps with random reselections each step. The physical
+    path gathers the K/V caches on every reselection (the old scheme); the
+    ancestry path never moves cache rows and resolves the permutation at
+    attention-read time. Outputs must match to fp tolerance every step.
+    """
+    from stjep_tpu.ops.transformer import decoder_layer_step_beam
+
+    rng = np.random.RandomState(3)
+    B, K, L, d_model, n_head, Lk = 2, 3, 8, 16, 4, 5
+    BK = B * K
+    d_k = d_model // n_head
+    p = decoder_layer_init(jax.random.PRNGKey(0), d_model, n_head, d_model * 2)
+
+    mem = jnp.asarray(rng.randn(B, Lk, d_model).astype(np.float32))
+    mem_mask_b = np.ones((B, Lk), dtype=bool)
+    mem_mask_b[:, 4:] = False
+    mem_kv = mha_cross_precompute(p["encdec_attn"], mem, n_head)
+    mem_kv_exp = KVCache(
+        k=jnp.repeat(mem_kv.k, K, axis=0), v=jnp.repeat(mem_kv.v, K, axis=0))
+
+    zeros = jnp.zeros((BK, n_head, L, d_k))
+    cache_phys = KVCache(k=zeros, v=zeros)
+    cache_anc = KVCache(k=zeros, v=zeros)
+    anc = jnp.broadcast_to(
+        (jnp.arange(BK, dtype=jnp.int32) % K)[:, None], (BK, L))
+    own = (jnp.arange(BK, dtype=jnp.int32) % K)[:, None]
+    mask_k = jnp.asarray(rng.rand(BK, L) > 0.2)
+    mem_mask_exp = jnp.repeat(jnp.asarray(mem_mask_b), K, axis=0)
+
+    for t in range(6):
+        x_t = jnp.asarray(rng.randn(BK, 1, d_model).astype(np.float32))
+        mk = mask_k.at[:, t].set(True)  # current position always attendable
+        anc = jax.lax.dynamic_update_slice(anc, own, (0, jnp.int32(t)))
+
+        y_phys, cache_phys = decoder_layer_step(
+            p, x_t, cache_phys, mem_kv_exp, jnp.int32(t), n_head,
+            mem_mask=mem_mask_exp, self_mask_k=mk)
+        y_anc, cache_anc = decoder_layer_step_beam(
+            p, x_t, cache_anc, mem_kv, jnp.int32(t), n_head, anc, K,
+            mem_mask_b=jnp.asarray(mem_mask_b), self_mask_k=mk)
+        np.testing.assert_allclose(_np(y_anc), _np(y_phys), rtol=2e-5, atol=2e-6)
+
+        # random in-group reselection, as the k^2->k beam select does
+        r_in = rng.randint(0, K, size=(BK,))
+        r_idx = jnp.asarray(
+            (np.arange(BK) // K) * K + r_in, dtype=jnp.int32)
+        cache_phys = KVCache(k=cache_phys.k[r_idx], v=cache_phys.v[r_idx])
+        anc = anc[r_idx]
+        mask_k = mk[r_idx]
