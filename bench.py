@@ -143,9 +143,13 @@ def bench_tpu(n_iters: int = 5):
         return params, opt_state, loss
 
     step = jax.jit(train_step, donate_argnums=(0, 1))
-    params, opt_state, loss = step(params, opt_state, feats, lens, src, tgt,
-                                   jax.random.PRNGKey(1))
-    _ = float(loss)
+    # warm TWO steps: the first compiles, the second absorbs the one-time
+    # recompile when the step's outputs come back with compiler-chosen
+    # layouts that differ from the freshly-initialised arrays
+    for w in (1, 2):
+        params, opt_state, loss = step(params, opt_state, feats, lens, src,
+                                       tgt, jax.random.PRNGKey(w))
+        _ = float(loss)
     t0 = time.perf_counter()
     for i in range(n_iters):
         params, opt_state, loss = step(params, opt_state, feats, lens, src,
@@ -159,9 +163,11 @@ def bench_tpu(n_iters: int = 5):
     params16 = init_seq2seq(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
     opt_state16 = set_lr(tx.init(params16), 1e-4)
     step16 = jax.jit(train_step, donate_argnums=(0, 1))
-    params16, opt_state16, loss = step16(params16, opt_state16, feats, lens,
-                                         src, tgt, jax.random.PRNGKey(1))
-    _ = float(loss)
+    for w in (1, 2):
+        params16, opt_state16, loss = step16(params16, opt_state16, feats,
+                                             lens, src, tgt,
+                                             jax.random.PRNGKey(w))
+        _ = float(loss)
     t0 = time.perf_counter()
     for i in range(n_iters):
         params16, opt_state16, loss = step16(params16, opt_state16, feats,

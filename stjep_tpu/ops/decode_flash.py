@@ -99,23 +99,21 @@ def _head_sel(D: int, n_head: int):
             ).astype(jnp.float32)
 
 
-def _self_kernel(pos_ref, x_ref, anc_ref, maskk_ref,
-                 lns_ref, lnb_ref, wq_ref, wk_ref, wv_ref, wo_ref,
-                 ck_in, cv_in,
-                 y_ref, ck_out, cv_out,
-                 kbuf, vbuf, kflush_ref, vflush_ref, sem_rd, sem_wr,
-                 *, n_head: int, group: int):
+def _self_core(pos, x, anc_ref, maskk_ref,
+               lns_ref, lnb_ref, wq_ref, wk_ref, wv_ref, wo_ref,
+               ck_out, cv_out,
+               kbuf, vbuf, kflush_ref, vflush_ref, sem_rd, sem_wr,
+               n_head: int, group: int):
+    """Fused self-attention step body; returns y [BK, D] and persists the
+    new K/V row into the (aliased) HBM caches as a side effect."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     f32 = jnp.float32
-    BK, D = x_ref.shape
+    BK, D = x.shape
     d = D // n_head
     B = BK // group
-    pos = pos_ref[0]
     hsel = _head_sel(D, n_head)  # [D, n]
-
-    x = x_ref[:]
     xn = _ln(x, lns_ref[:], lnb_ref[:])
     q = jnp.dot(xn, wq_ref[:], preferred_element_type=f32) / (d**0.5)
     k_new = jnp.dot(x, wk_ref[:], preferred_element_type=f32)
@@ -218,7 +216,7 @@ def _self_kernel(pos_ref, x_ref, anc_ref, maskk_ref,
     lsum = jnp.where(lsum == 0.0, 1.0, lsum)
     lsum_exp = jnp.dot(lsum, hsel.T, preferred_element_type=f32)
     out = acc / lsum_exp
-    y_ref[:] = jnp.dot(out, wo_ref[:], preferred_element_type=f32) + x
+    y = jnp.dot(out, wo_ref[:], preferred_element_type=f32) + x
 
     # ---- persist the new K/V row: rewrite the (BLOCK-aligned) pos-block
     # with the loaded contents + the new row at `pos`. Rows are regrouped
@@ -253,6 +251,20 @@ def _self_kernel(pos_ref, x_ref, anc_ref, maskk_ref,
     fv.start()
     fk.wait()
     fv.wait()
+    return y
+
+
+def _self_kernel(pos_ref, x_ref, anc_ref, maskk_ref,
+                 lns_ref, lnb_ref, wq_ref, wk_ref, wv_ref, wo_ref,
+                 ck_in, cv_in,
+                 y_ref, ck_out, cv_out,
+                 kbuf, vbuf, kflush_ref, vflush_ref, sem_rd, sem_wr,
+                 *, n_head: int, group: int):
+    y_ref[:] = _self_core(
+        pos_ref[0], x_ref[:], anc_ref, maskk_ref,
+        lns_ref, lnb_ref, wq_ref, wk_ref, wv_ref, wo_ref,
+        ck_out, cv_out, kbuf, vbuf, kflush_ref, vflush_ref, sem_rd, sem_wr,
+        n_head, group)
 
 
 def self_attn_step(
@@ -330,17 +342,17 @@ def self_attn_step(
 # ---------------------------------------------------------------------------
 
 
-def _cross_kernel(x_ref, memmask_ref,
-                  lns_ref, lnb_ref, wq_ref, wo_ref,
-                  mk_hbm, mv_hbm,
-                  y_ref,
-                  kbuf, vbuf, sem_rd,
-                  *, n_head: int, group: int, bs: int):
+def _cross_core(x, memmask_ref,
+                lns_ref, lnb_ref, wq_ref, wo_ref,
+                mk_hbm, mv_hbm,
+                kbuf, vbuf, sem_rd,
+                n_head: int, group: int, bs: int):
+    """Fused cross-attention step body; returns y [BK, D]."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     f32 = jnp.float32
-    BK, D = x_ref.shape
+    BK, D = x.shape
     B, Lk, _ = mk_hbm.shape
     d = D // n_head
     nb = Lk // bs
@@ -349,8 +361,6 @@ def _cross_kernel(x_ref, memmask_ref,
     expand = (jax.lax.broadcasted_iota(jnp.int32, (BK, B), 0) // group
               == jax.lax.broadcasted_iota(jnp.int32, (BK, B), 1)
               ).astype(f32)
-
-    x = x_ref[:]
     xn = _ln(x, lns_ref[:], lnb_ref[:])
     q = jnp.dot(xn, wq_ref[:], preferred_element_type=f32) / (d**0.5)
 
@@ -419,7 +429,18 @@ def _cross_kernel(x_ref, memmask_ref,
     lsum = jnp.where(lsum == 0.0, 1.0, lsum)
     lsum_exp = jnp.dot(lsum, hsel.T, preferred_element_type=f32)
     out = acc / lsum_exp
-    y_ref[:] = jnp.dot(out, wo_ref[:], preferred_element_type=f32) + x
+    return jnp.dot(out, wo_ref[:], preferred_element_type=f32) + x
+
+
+def _cross_kernel(x_ref, memmask_ref,
+                  lns_ref, lnb_ref, wq_ref, wo_ref,
+                  mk_hbm, mv_hbm,
+                  y_ref,
+                  kbuf, vbuf, sem_rd,
+                  *, n_head: int, group: int, bs: int):
+    y_ref[:] = _cross_core(
+        x_ref[:], memmask_ref, lns_ref, lnb_ref, wq_ref, wo_ref,
+        mk_hbm, mv_hbm, kbuf, vbuf, sem_rd, n_head, group, bs)
 
 
 def cross_attn_step(
@@ -473,14 +494,19 @@ def cross_attn_step(
 # ---------------------------------------------------------------------------
 
 
-def _ffn_kernel(x_ref, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref, b2_ref,
-                y_ref):
+def _ffn_core(x, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref, b2_ref):
+    """Fused FFN step body; returns y [BK, D]."""
     f32 = jnp.float32
-    x = x_ref[:]
     xn = _ln(x, lns_ref[:], lnb_ref[:])
     h = jnp.maximum(
         jnp.dot(xn, w1_ref[:], preferred_element_type=f32) + b1_ref[:], 0.0)
-    y_ref[:] = x + jnp.dot(h, w2_ref[:], preferred_element_type=f32) + b2_ref[:]
+    return x + jnp.dot(h, w2_ref[:], preferred_element_type=f32) + b2_ref[:]
+
+
+def _ffn_kernel(x_ref, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                y_ref):
+    y_ref[:] = _ffn_core(x_ref[:], lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref,
+                         b2_ref)
 
 
 def ffn_step(params: Dict, x_new: jnp.ndarray) -> jnp.ndarray:
@@ -505,10 +531,32 @@ def ffn_step(params: Dict, x_new: jnp.ndarray) -> jnp.ndarray:
     return y[:, None, :]
 
 
+def _layer_kernel(pos_ref, x_ref, anc_ref, maskk_ref, memmask_ref,
+                  slns_ref, slnb_ref, wq_ref, wk_ref, wv_ref, wo_ref,
+                  clns_ref, clnb_ref, cwq_ref, cwo_ref,
+                  flns_ref, flnb_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                  ck_in, cv_in, mk_hbm, mv_hbm,
+                  y_ref, ck_out, cv_out,
+                  kbuf, vbuf, kflush_ref, vflush_ref, mkbuf, mvbuf,
+                  sem_self, sem_wr, sem_cross,
+                  *, n_head: int, group: int, bs: int):
+    """One decoder layer's whole decode step in a single launch."""
+    y = _self_core(
+        pos_ref[0], x_ref[:], anc_ref, maskk_ref,
+        slns_ref, slnb_ref, wq_ref, wk_ref, wv_ref, wo_ref,
+        ck_out, cv_out, kbuf, vbuf, kflush_ref, vflush_ref,
+        sem_self, sem_wr, n_head, group)
+    y = _cross_core(
+        y, memmask_ref, clns_ref, clnb_ref, cwq_ref, cwo_ref,
+        mk_hbm, mv_hbm, mkbuf, mvbuf, sem_cross, n_head, group, bs)
+    y_ref[:] = _ffn_core(y, flns_ref, flnb_ref, w1_ref, b1_ref, w2_ref,
+                         b2_ref)
+
+
 def decoder_layer_step_flash(
     params: Dict,  # decoder layer: decslf_attn / encdec_attn / pos_ffn
     x_new: jnp.ndarray,  # [B*K, 1, D]
-    cache_k: jnp.ndarray,  # [B*K, Lpad, D]
+    cache_k: jnp.ndarray,  # [group, B, Lpad, D]
     cache_v: jnp.ndarray,
     mem_k: jnp.ndarray,  # [B, Lk_pad, D]
     mem_v: jnp.ndarray,
@@ -519,7 +567,93 @@ def decoder_layer_step_flash(
     mem_mask: jnp.ndarray,  # [Lk_pad, B] transposed
     self_mask_k: jnp.ndarray,  # [Lpad, B*K] transposed
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Full decoder-layer decode step in three fused launches."""
+    """Full decoder-layer decode step in ONE fused launch.
+
+    The per-phase wrappers (self_attn_step / cross_attn_step / ffn_step)
+    share the same cores and remain available for debugging."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    BK, _, D = x_new.shape
+    L = cache_k.shape[2]
+    B, Lk, _ = mem_k.shape
+    bs = CROSS_BLOCK
+    assert cache_k.shape[:2] == (group, B) and BK == B * group
+    assert anc.shape == (L, BK) and self_mask_k.shape == (L, BK)
+    assert mem_mask.shape == (Lk, B)
+    assert L % BLOCK == 0 and Lk % bs == 0
+    f32 = jnp.float32
+    cdt = cache_k.dtype
+    mdt = mem_k.dtype
+
+    sa = params["decslf_attn"]
+    ca = params["encdec_attn"]
+    ff = params["pos_ffn"]
+    args = (
+        jnp.asarray(pos, jnp.int32).reshape(1),
+        x_new[:, 0, :].astype(f32),
+        anc.astype(jnp.int32),
+        self_mask_k.astype(jnp.int32),
+        mem_mask.astype(jnp.int32),
+        sa["layer_norm"]["scale"], sa["layer_norm"]["bias"],
+        sa["w_qs"]["w"], sa["w_ks"]["w"], sa["w_vs"]["w"], sa["fc"]["w"],
+        ca["layer_norm"]["scale"], ca["layer_norm"]["bias"],
+        ca["w_qs"]["w"], ca["fc"]["w"],
+        ff["layer_norm"]["scale"], ff["layer_norm"]["bias"],
+        ff["w_1"]["w"], ff["w_1"]["b"], ff["w_2"]["w"], ff["w_2"]["b"],
+        cache_k, cache_v, mem_k, mem_v,
+    )
+    vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    hbm = (pl.ANY if jax.default_backend() == "cpu"
+           else pltpu.MemorySpace.HBM)
+    anyspace = lambda: pl.BlockSpec(memory_space=hbm)
+    in_specs = ([pl.BlockSpec(memory_space=pltpu.SMEM)]
+                + [vmem() for _ in range(20)]
+                + [anyspace() for _ in range(4)])
+    out_shape = (
+        jax.ShapeDtypeStruct((BK, D), f32),
+        jax.ShapeDtypeStruct((group, B, L, D), cdt),
+        jax.ShapeDtypeStruct((group, B, L, D), cdt),
+    )
+    y, ck, cv = pl.pallas_call(
+        functools.partial(_layer_kernel, n_head=n_head, group=group, bs=bs),
+        in_specs=in_specs,
+        out_specs=(vmem(), anyspace(), anyspace()),
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((2, group, B, BLOCK, D), cdt),  # kbuf
+            pltpu.VMEM((2, group, B, BLOCK, D), cdt),  # vbuf
+            pltpu.VMEM((group, B, BLOCK, D), cdt),  # kflush
+            pltpu.VMEM((group, B, BLOCK, D), cdt),  # vflush
+            pltpu.VMEM((2, B, bs, D), mdt),  # mem kbuf
+            pltpu.VMEM((2, B, bs, D), mdt),  # mem vbuf
+            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+        input_output_aliases={21: 1, 22: 2},
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
+        interpret=jax.default_backend() == "cpu",
+    )(*args)
+    return y[:, None, :], ck, cv
+
+
+def decoder_layer_step_flash_trio(
+    params: Dict,
+    x_new: jnp.ndarray,
+    cache_k: jnp.ndarray,
+    cache_v: jnp.ndarray,
+    mem_k: jnp.ndarray,
+    mem_v: jnp.ndarray,
+    pos: jnp.ndarray,
+    n_head: int,
+    anc: jnp.ndarray,
+    group: int,
+    mem_mask: jnp.ndarray,
+    self_mask_k: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Same step as decoder_layer_step_flash but as three launches (kept
+    for A/B debugging of the fused layer kernel)."""
     y, ck, cv = self_attn_step(
         params["decslf_attn"], x_new, cache_k, cache_v, pos, n_head, anc,
         group, self_mask_k)

@@ -53,7 +53,12 @@ def make_optimizer(
     if max_grad_norm and max_grad_norm > 0:
         txs.append(optax.clip_by_global_norm(max_grad_norm))
     txs.append(optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8))
-    txs.append(optax.inject_hyperparams(optax.scale)(step_size=-1.0))
+    # hyperparam_dtype pinned: without it optax re-emits step_size in the
+    # params' dtype after the first update, so a bf16 train step would flip
+    # the opt-state signature f32->bf16 and trigger a full recompile on the
+    # second step (set_lr always writes f32)
+    txs.append(optax.inject_hyperparams(
+        optax.scale, hyperparam_dtype=jnp.float32)(step_size=-1.0))
     tx = optax.chain(*txs)
     if trainable_mask is None:
         return tx
