@@ -60,8 +60,15 @@ from typing import Dict, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-BLOCK = 16  # self-cache positions streamed per DMA; Lpad must be a multiple
-CROSS_BLOCK = 32  # memory positions streamed per DMA in cross-attention
+BLOCK = 16  # max self-cache positions streamed per DMA; Lpad is a multiple
+CROSS_BLOCK = 32  # max memory positions streamed per DMA in cross-attention
+
+
+def stream_blocks(n_rows: int):
+    """Per-call stream block sizes (self, cross): halved for big batches so
+    the kernel's buffers + temporaries stay inside the VMEM budget."""
+    return (BLOCK, CROSS_BLOCK) if n_rows <= 128 else (BLOCK // 2,
+                                                       CROSS_BLOCK // 2)
 # The self kernel's working set (2x double-buffered K/V blocks + flush
 # block + 4 [D,D] weights + selection temporaries) exceeds the compiler's
 # default 16 MB scoped-vmem cap at flagship decode shapes, so the attention
@@ -103,7 +110,7 @@ def _self_core(pos, x, anc_ref, maskk_ref,
                lns_ref, lnb_ref, wq_ref, wk_ref, wv_ref, wo_ref,
                ck_out, cv_out,
                kbuf, vbuf, kflush_ref, vflush_ref, sem_rd, sem_wr,
-               n_head: int, group: int):
+               n_head: int, group: int, blk: int = BLOCK):
     """Fused self-attention step body; returns y [BK, D] and persists the
     new K/V row into the (aliased) HBM caches as a side effect."""
     from jax.experimental import pallas as pl
@@ -124,14 +131,14 @@ def _self_core(pos, x, anc_ref, maskk_ref,
     # instead injected in-register into the attention values of the block
     # containing `pos`, and the whole (block-aligned) pos-block is flushed
     # back to the cache after the loop.
-    nb = pos // BLOCK + 1  # dynamic trip count: only the live prefix
+    nb = pos // blk + 1  # dynamic trip count: only the live prefix
 
     def rd(i, slot):
         k_dma = pltpu.make_async_copy(
-            ck_out.at[:, :, pl.ds(i * BLOCK, BLOCK), :], kbuf.at[slot],
+            ck_out.at[:, :, pl.ds(i * blk, blk), :], kbuf.at[slot],
             sem_rd.at[slot, 0])
         v_dma = pltpu.make_async_copy(
-            cv_out.at[:, :, pl.ds(i * BLOCK, BLOCK), :], vbuf.at[slot],
+            cv_out.at[:, :, pl.ds(i * blk, blk), :], vbuf.at[slot],
             sem_rd.at[slot, 1])
         return k_dma, v_dma
 
@@ -157,29 +164,29 @@ def _self_core(pos, x, anc_ref, maskk_ref,
         kw.wait()
         vw.wait()
 
-        l_start = i * BLOCK
+        l_start = i * blk
         # anc/mask arrive TRANSPOSED [L, BK]: the block slice is then a
         # sublane slice (dynamic lane offsets must be 128-multiples)
         anc_blk = jnp.swapaxes(
-            anc_ref[pl.ds(l_start, BLOCK), :], 0, 1)  # [BK, BLOCK]
-        msk_blk = jnp.swapaxes(maskk_ref[pl.ds(l_start, BLOCK), :], 0, 1)
+            anc_ref[pl.ds(l_start, blk), :], 0, 1)  # [BK, blk]
+        msk_blk = jnp.swapaxes(maskk_ref[pl.ds(l_start, blk), :], 0, 1)
         lidx = l_start + jax.lax.broadcasted_iota(
-            jnp.int32, (BK, BLOCK), 1)
+            jnp.int32, (BK, blk), 1)
         valid = (lidx <= pos) & (msk_blk > 0)  # [BK, BLOCK]
 
         # ancestry-select K/V rows for each hypothesis: a static loop of
         # selects over the (<= beam width) group rows, no gathers.
         # NB: bool masks are expanded through f32 (Mosaic can't insert a
         # minor dim on 1-bit vectors) and re-compared after expansion.
-        ksel = jnp.zeros((BK, BLOCK, D), f32)
-        vsel = jnp.zeros((BK, BLOCK, D), f32)
+        ksel = jnp.zeros((BK, blk, D), f32)
+        vsel = jnp.zeros((BK, blk, D), f32)
         for j in range(group):
             kj = jnp.broadcast_to(
-                kbuf[slot, j].astype(f32)[:, None], (B, group, BLOCK, D)
-            ).reshape(BK, BLOCK, D)
+                kbuf[slot, j].astype(f32)[:, None], (B, group, blk, D)
+            ).reshape(BK, blk, D)
             vj = jnp.broadcast_to(
-                vbuf[slot, j].astype(f32)[:, None], (B, group, BLOCK, D)
-            ).reshape(BK, BLOCK, D)
+                vbuf[slot, j].astype(f32)[:, None], (B, group, blk, D)
+            ).reshape(BK, blk, D)
             take = (anc_blk == j).astype(f32)[:, :, None] > 0.5
             ksel = jnp.where(take, kj, ksel)
             vsel = jnp.where(take, vj, vsel)
@@ -193,8 +200,8 @@ def _self_core(pos, x, anc_ref, maskk_ref,
 
         # per-head scores via the head-selector matmul (no lane reshape)
         prod = q[:, None, :] * ksel  # [BK, BLOCK, D]
-        s = jnp.dot(prod.reshape(BK * BLOCK, D), hsel,
-                    preferred_element_type=f32).reshape(BK, BLOCK, n_head)
+        s = jnp.dot(prod.reshape(BK * blk, D), hsel,
+                    preferred_element_type=f32).reshape(BK, blk, n_head)
         s = jnp.where(valid.astype(f32)[:, :, None] > 0.5, s, NEG)
 
         m_blk = jnp.max(s, axis=1)  # [BK, n]
@@ -205,8 +212,8 @@ def _self_core(pos, x, anc_ref, maskk_ref,
 
         # expand per-head weights across their lane chunk and contract the
         # block on the VPU: ctx[s, h*d+dd] = sum_l p[s,l,h] * vsel[s,l,h*d+dd]
-        p_exp = jnp.dot(p.reshape(BK * BLOCK, n_head), hsel.T,
-                        preferred_element_type=f32).reshape(BK, BLOCK, D)
+        p_exp = jnp.dot(p.reshape(BK * blk, n_head), hsel.T,
+                        preferred_element_type=f32).reshape(BK, blk, D)
         ctx = jnp.sum(p_exp * vsel, axis=1)  # [BK, D]
         alpha_exp = jnp.dot(alpha, hsel.T, preferred_element_type=f32)
         acc = acc * alpha_exp + ctx
@@ -234,7 +241,7 @@ def _self_core(pos, x, anc_ref, maskk_ref,
     knew_gm = jnp.concatenate(knew_gm, axis=0)  # [group, B, D]
     vnew_gm = jnp.concatenate(vnew_gm, axis=0)
     inblk = jax.lax.broadcasted_iota(
-        jnp.int32, (group, B, BLOCK, 1), 2) == (pos - last * BLOCK)
+        jnp.int32, (group, B, blk, 1), 2) == (pos - last * blk)
     kflush_ref[:] = jnp.where(
         inblk, knew_gm[:, :, None, :],
         kbuf[slot_last].astype(f32)).astype(kflush_ref.dtype)
@@ -242,10 +249,10 @@ def _self_core(pos, x, anc_ref, maskk_ref,
         inblk, vnew_gm[:, :, None, :],
         vbuf[slot_last].astype(f32)).astype(vflush_ref.dtype)
     fk = pltpu.make_async_copy(
-        kflush_ref, ck_out.at[:, :, pl.ds(last * BLOCK, BLOCK), :],
+        kflush_ref, ck_out.at[:, :, pl.ds(last * blk, blk), :],
         sem_wr.at[0])
     fv = pltpu.make_async_copy(
-        vflush_ref, cv_out.at[:, :, pl.ds(last * BLOCK, BLOCK), :],
+        vflush_ref, cv_out.at[:, :, pl.ds(last * blk, blk), :],
         sem_wr.at[1])
     fk.start()
     fv.start()
@@ -259,12 +266,12 @@ def _self_kernel(pos_ref, x_ref, anc_ref, maskk_ref,
                  ck_in, cv_in,
                  y_ref, ck_out, cv_out,
                  kbuf, vbuf, kflush_ref, vflush_ref, sem_rd, sem_wr,
-                 *, n_head: int, group: int):
+                 *, n_head: int, group: int, blk: int):
     y_ref[:] = _self_core(
         pos_ref[0], x_ref[:], anc_ref, maskk_ref,
         lns_ref, lnb_ref, wq_ref, wk_ref, wv_ref, wo_ref,
         ck_out, cv_out, kbuf, vbuf, kflush_ref, vflush_ref, sem_rd, sem_wr,
-        n_head, group)
+        n_head, group, blk)
 
 
 def self_attn_step(
@@ -290,8 +297,9 @@ def self_attn_step(
     BK, _, D = x_new.shape
     L = cache_k.shape[2]
     assert cache_k.shape[:2] == (group, BK // group)
+    blk, _ = stream_blocks(BK)
     assert anc.shape == (L, BK) and mask_k.shape == (L, BK)
-    assert L % BLOCK == 0, f"cache length {L} not a multiple of {BLOCK}"
+    assert L % blk == 0, f"cache length {L} not a multiple of {blk}"
     f32 = jnp.float32
     cdt = cache_k.dtype
     B = BK // group
@@ -318,15 +326,16 @@ def self_attn_step(
         jax.ShapeDtypeStruct((group, B, L, D), cdt),
     )
     y, ck, cv = pl.pallas_call(
-        functools.partial(_self_kernel, n_head=n_head, group=group),
+        functools.partial(_self_kernel, n_head=n_head, group=group,
+                          blk=blk),
         in_specs=in_specs,
         out_specs=(vmem(), anyspace(), anyspace()),
         out_shape=out_shape,
         scratch_shapes=[
-            pltpu.VMEM((2, group, B, BLOCK, D), cdt),  # kbuf
-            pltpu.VMEM((2, group, B, BLOCK, D), cdt),  # vbuf
-            pltpu.VMEM((group, B, BLOCK, D), cdt),  # kflush
-            pltpu.VMEM((group, B, BLOCK, D), cdt),  # vflush
+            pltpu.VMEM((2, group, B, blk, D), cdt),  # kbuf
+            pltpu.VMEM((2, group, B, blk, D), cdt),  # vbuf
+            pltpu.VMEM((group, B, blk, D), cdt),  # kflush
+            pltpu.VMEM((group, B, blk, D), cdt),  # vflush
             pltpu.SemaphoreType.DMA((2, 2)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
@@ -451,13 +460,15 @@ def cross_attn_step(
     n_head: int,
     group: int,
     mem_mask: jnp.ndarray,  # [Lk_pad, B] bool TRANSPOSED (False on padding)
-    bs: int = CROSS_BLOCK,
+    bs: int = 0,  # 0 = auto via stream_blocks
 ) -> jnp.ndarray:
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     BK, _, D = x_new.shape
     B, Lk, _ = mem_k.shape
+    if not bs:
+        _, bs = stream_blocks(BK)
     assert Lk % bs == 0, f"memory length {Lk} not a multiple of {bs}"
     f32 = jnp.float32
     mdt = mem_k.dtype
@@ -539,13 +550,13 @@ def _layer_kernel(pos_ref, x_ref, anc_ref, maskk_ref, memmask_ref,
                   y_ref, ck_out, cv_out,
                   kbuf, vbuf, kflush_ref, vflush_ref, mkbuf, mvbuf,
                   sem_self, sem_wr, sem_cross,
-                  *, n_head: int, group: int, bs: int):
+                  *, n_head: int, group: int, bs: int, blk: int):
     """One decoder layer's whole decode step in a single launch."""
     y = _self_core(
         pos_ref[0], x_ref[:], anc_ref, maskk_ref,
         slns_ref, slnb_ref, wq_ref, wk_ref, wv_ref, wo_ref,
         ck_out, cv_out, kbuf, vbuf, kflush_ref, vflush_ref,
-        sem_self, sem_wr, n_head, group)
+        sem_self, sem_wr, n_head, group, blk)
     y = _cross_core(
         y, memmask_ref, clns_ref, clnb_ref, cwq_ref, cwo_ref,
         mk_hbm, mv_hbm, mkbuf, mvbuf, sem_cross, n_head, group, bs)
@@ -577,11 +588,11 @@ def decoder_layer_step_flash(
     BK, _, D = x_new.shape
     L = cache_k.shape[2]
     B, Lk, _ = mem_k.shape
-    bs = CROSS_BLOCK
+    blk, bs = stream_blocks(BK)
     assert cache_k.shape[:2] == (group, B) and BK == B * group
     assert anc.shape == (L, BK) and self_mask_k.shape == (L, BK)
     assert mem_mask.shape == (Lk, B)
-    assert L % BLOCK == 0 and Lk % bs == 0
+    assert L % blk == 0 and Lk % bs == 0
     f32 = jnp.float32
     cdt = cache_k.dtype
     mdt = mem_k.dtype
@@ -616,15 +627,16 @@ def decoder_layer_step_flash(
         jax.ShapeDtypeStruct((group, B, L, D), cdt),
     )
     y, ck, cv = pl.pallas_call(
-        functools.partial(_layer_kernel, n_head=n_head, group=group, bs=bs),
+        functools.partial(_layer_kernel, n_head=n_head, group=group, bs=bs,
+                          blk=blk),
         in_specs=in_specs,
         out_specs=(vmem(), anyspace(), anyspace()),
         out_shape=out_shape,
         scratch_shapes=[
-            pltpu.VMEM((2, group, B, BLOCK, D), cdt),  # kbuf
-            pltpu.VMEM((2, group, B, BLOCK, D), cdt),  # vbuf
-            pltpu.VMEM((group, B, BLOCK, D), cdt),  # kflush
-            pltpu.VMEM((group, B, BLOCK, D), cdt),  # vflush
+            pltpu.VMEM((2, group, B, blk, D), cdt),  # kbuf
+            pltpu.VMEM((2, group, B, blk, D), cdt),  # vbuf
+            pltpu.VMEM((group, B, blk, D), cdt),  # kflush
+            pltpu.VMEM((group, B, blk, D), cdt),  # vflush
             pltpu.VMEM((2, B, bs, D), mdt),  # mem kbuf
             pltpu.VMEM((2, B, bs, D), mdt),  # mem vbuf
             pltpu.SemaphoreType.DMA((2, 2)),
