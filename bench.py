@@ -150,11 +150,14 @@ def bench_tpu(n_iters: int = 5):
         params, opt_state, loss = step(params, opt_state, feats, lens, src,
                                        tgt, jax.random.PRNGKey(w))
         _ = float(loss)
+    # time the async-dispatched pipeline and drain once at the end: a real
+    # training loop does not read the loss back every step, and on axon a
+    # per-step readback adds a ~28 ms tunnel round-trip to every iteration
     t0 = time.perf_counter()
     for i in range(n_iters):
         params, opt_state, loss = step(params, opt_state, feats, lens, src,
                                        tgt, jax.random.PRNGKey(i))
-        _ = float(loss)
+    _ = float(loss)
     step_per_s = n_iters / (time.perf_counter() - t0)
 
     # ---- bf16 train step (the --dtype bfloat16 CLI path: bf16 params +
@@ -173,7 +176,7 @@ def bench_tpu(n_iters: int = 5):
         params16, opt_state16, loss = step16(params16, opt_state16, feats,
                                              lens, src, tgt,
                                              jax.random.PRNGKey(i))
-        _ = float(loss)
+    _ = float(loss)
     step_bf16_per_s = n_iters / (time.perf_counter() - t0)
 
     return (utt_per_s, utt_per_s_bf16, utt_per_s_serving, step_per_s,

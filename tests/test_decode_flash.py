@@ -158,3 +158,43 @@ def test_flash_beam_search_matches_xla_beam():
         np.testing.assert_array_equal(_np(preds_x), _np(preds_f))
         np.testing.assert_allclose(_np(scores_x), _np(scores_f),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_flash_layer_step_small_blocks(monkeypatch):
+    """The big-batch block sizes (stream_blocks > 128 rows halves them)
+    must produce the same numbers as the defaults."""
+    import stjep_tpu.ops.decode_flash as df
+
+    rng = np.random.RandomState(13)
+    B, K, d_model, n_head, Lk = 2, 2, 16, 4, 5
+    BK = B * K
+    L = 2 * BLOCK
+    Lk_pad = pad_len(Lk, CROSS_BLOCK)
+    p = decoder_layer_init(jax.random.PRNGKey(3), d_model, n_head, d_model * 2)
+
+    mem = jnp.asarray(rng.randn(B, Lk, d_model).astype(np.float32))
+    mem_pad = jnp.pad(mem, ((0, 0), (0, Lk_pad - Lk), (0, 0)))
+    fmem_k = linear(p["encdec_attn"]["w_ks"], mem_pad)
+    fmem_v = linear(p["encdec_attn"]["w_vs"], mem_pad)
+    mem_mask_pad = jnp.pad(jnp.ones((B, Lk), bool),
+                           ((0, 0), (0, Lk_pad - Lk)))
+    anc = jnp.broadcast_to(
+        (jnp.arange(BK, dtype=jnp.int32) % K)[:, None], (BK, L))
+    mask_k = jnp.ones((BK, L), bool)
+
+    outs = []
+    for blocks in [(BLOCK, CROSS_BLOCK), (BLOCK // 2, CROSS_BLOCK // 2)]:
+        monkeypatch.setattr(df, "stream_blocks", lambda n, b=blocks: b)
+        fck = jnp.zeros((K, B, L, d_model))
+        fcv = jnp.zeros((K, B, L, d_model))
+        ys = []
+        rng2 = np.random.RandomState(17)
+        for t in range(BLOCK + 3):  # crosses a (halved) block boundary
+            x_t = jnp.asarray(rng2.randn(BK, 1, d_model).astype(np.float32))
+            y, fck, fcv = df.decoder_layer_step_flash(
+                p, x_t, fck, fcv, fmem_k, fmem_v, jnp.int32(t), n_head,
+                anc.T, K, mem_mask_pad.T, mask_k.T)
+            ys.append(y)
+        outs.append(jnp.concatenate(ys, axis=1))
+    np.testing.assert_allclose(_np(outs[0]), _np(outs[1]), rtol=2e-5,
+                               atol=2e-6)
