@@ -256,16 +256,19 @@ def _beam_search_flash(
     own_row = (jnp.arange(BK, dtype=jnp.int32) % K)[None, :]  # [1, BK]
 
     def decode_pos(s: FlashBeamState):
+        from stjep_tpu.ops.decode_flash import decode_head
+
         pos = s.i - 1
         tok = jax.lax.dynamic_index_in_dim(s.preds, pos, axis=1, keepdims=False)
         emb = _embed_tgt_token(params, cfg, tok)[:, None, :]
         dec_out, cache = tf_decoder_step_flash(
             params["dec_tgt"], cfg, emb, s.cache, pos, s.anc, K,
-            mem_mask_t, (s.preds != PAD).T, max_time=max_time)
-        logits = linear(params["out_tgt"], dec_out[:, 0])
-        logp = jax.nn.log_softmax(logits, axis=-1)
-        score_k, pred_k = jax.lax.top_k(logp, K)
-        return score_k, pred_k.astype(jnp.int32), cache
+            mem_mask_t, (s.preds != PAD).T, max_time=max_time,
+            final_norm=False)
+        # fused head: final LN + out projection + log_softmax + top-k
+        score_k, pred_k = decode_head(
+            params["dec_tgt"]["norm"], params["out_tgt"], dec_out[:, 0], K)
+        return score_k, pred_k, cache
 
     def finish_step(state, pred_select, scores, preds, anc, cache):
         eos_mask = state.eos_mask | (pred_select == EOS)

@@ -210,11 +210,14 @@ def tf_decoder_step_flash(
     mem_mask_pad: jnp.ndarray,  # [Lk_pad, B] bool TRANSPOSED (False on pad)
     self_mask_k: jnp.ndarray,  # [Lpad, B*K] bool TRANSPOSED
     max_time: int = UPPERBOUND_SEQ_LEN,
+    final_norm: bool = True,
 ) -> Tuple[jnp.ndarray, TFDecCache]:
     """Decode position through all layers via the fused Pallas kernels.
 
     Masks/ancestry are position-major ([L, rows]) so the kernels' block
-    slicing stays on the sublane dimension (see ops/decode_flash.py)."""
+    slicing stays on the sublane dimension (see ops/decode_flash.py).
+    final_norm=False skips the trailing LayerNorm so the caller can fuse it
+    into the decode head kernel (ops/decode_flash.decode_head)."""
     from stjep_tpu.ops.decode_flash import decoder_layer_step_flash
 
     time_sig = position_signal(max_time, cfg.dim_model)
@@ -235,7 +238,8 @@ def tf_decoder_step_flash(
         )
         self_k[layer] = ck
         self_v[layer] = cv
-    x = layer_norm(params["norm"], x, eps=1e-5)
+    if final_norm:
+        x = layer_norm(params["norm"], x, eps=1e-5)
     return x, cache._replace(self_k=tuple(self_k), self_v=tuple(self_v))
 
 

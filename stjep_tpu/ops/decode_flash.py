@@ -673,3 +673,66 @@ def decoder_layer_step_flash_trio(
         params["encdec_attn"], y, mem_k, mem_v, n_head, group, mem_mask)
     y = ffn_step(params["pos_ffn"], y)
     return y, ck, cv
+
+
+# ---------------------------------------------------------------------------
+# 4. fused decode head: final LN -> output projection -> log_softmax -> top-k
+# ---------------------------------------------------------------------------
+
+
+def _head_kernel(x_ref, lns_ref, lnb_ref, w_ref, sc_ref, id_ref,
+                 *, topk: int):
+    f32 = jnp.float32
+    x = _ln(x_ref[:], lns_ref[:], lnb_ref[:], eps=1e-5)  # torch default eps
+    logits = jnp.dot(x, w_ref[:], preferred_element_type=f32)
+    BK, V = logits.shape
+    mx = jnp.max(logits, axis=-1)
+    lse = mx + jnp.log(jnp.sum(jnp.exp(logits - mx[:, None]), axis=-1))
+
+    # top-k by iterative first-max extraction — identical ordering to
+    # jax.lax.top_k (ties resolve to the lowest index)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (BK, V), 1)
+    cur = logits
+    scs, ids = [], []
+    for _k in range(topk):
+        mk = jnp.max(cur, axis=-1)  # [BK]
+        amk = jnp.min(jnp.where(cur == mk[:, None], iota, V), axis=-1)
+        # log_softmax(top value) == top logit - logsumexp (monotonic shift)
+        scs.append((mk - lse)[:, None])
+        ids.append(amk[:, None].astype(jnp.int32))
+        cur = jnp.where(iota == amk[:, None], -1e30, cur)
+    sc_ref[:] = jnp.concatenate(scs, axis=1)
+    id_ref[:] = jnp.concatenate(ids, axis=1)
+
+
+def decode_head(
+    norm_params: Dict,  # final decoder LayerNorm (eps 1e-5, ref TFDec.py:58)
+    out_params: Dict,  # out_tgt linear (no bias, ref Seq2seq.py init)
+    x: jnp.ndarray,  # [B*K, D] decoder output BEFORE the final LayerNorm
+    topk: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Returns (score_k [B*K, topk] log-softmax scores, pred_k int32).
+
+    One launch replacing final-LN + output matmul + log_softmax + top_k
+    (4+ XLA fusions per decode step)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    BK, D = x.shape
+    vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    sc, ids = pl.pallas_call(
+        functools.partial(_head_kernel, topk=topk),
+        in_specs=[vmem() for _ in range(4)],
+        out_specs=(vmem(), vmem()),
+        out_shape=(
+            jax.ShapeDtypeStruct((BK, topk), jnp.float32),
+            jax.ShapeDtypeStruct((BK, topk), jnp.int32),
+        ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
+        interpret=jax.default_backend() == "cpu",
+    )(
+        x.astype(jnp.float32),
+        norm_params["scale"], norm_params["bias"],
+        out_params["w"],
+    )
+    return sc, ids
