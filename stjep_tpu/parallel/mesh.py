@@ -41,10 +41,25 @@ def make_mesh(n_data: Optional[int] = None, n_model: int = 1,
     """Build a (data, model) mesh over the available devices."""
     devices = devices if devices is not None else jax.devices()
     n = len(devices)
+    if n % max(n_model, 1) != 0 or n_model < 1:
+        # requested model-parallel degree doesn't fit: degrade to pure DP
+        # rather than fail — DP is the baseline sharding (SURVEY §2).
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "make_mesh: n_model=%s does not divide %d devices; "
+            "falling back to pure data parallelism", n_model, n)
+        n_model = 1
+        n_data = n
     if n_data is None:
-        assert n % n_model == 0
         n_data = n // n_model
-    assert n_data * n_model == n, (n_data, n_model, n)
+    if n_data * n_model != n:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "make_mesh: (%d, %d) != %d devices; falling back to pure DP",
+            n_data, n_model, n)
+        n_data, n_model = n, 1
     arr = np.asarray(devices).reshape(n_data, n_model)
     return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
 
