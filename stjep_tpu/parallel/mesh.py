@@ -135,3 +135,33 @@ def shard_batch(batch: Dict[str, Any], mesh: Mesh, batch_axis: int = 1):
 
 def replicated(mesh: Mesh):
     return NamedSharding(mesh, P())
+
+
+def opt_state_shardings(tx, params, mesh: Mesh):
+    """Sharding pytree for `tx.init(params)`: any state subtree that is
+    param-structured (Adam mu/nu) inherits the params' TP/replicated layout;
+    every other leaf (counts, injected hyperparams) is replicated.
+
+    Needed because jit constant-folds `zeros_like` init outputs onto the
+    default device regardless of input sharding — opt-state placement must
+    be requested explicitly (out_shardings / device_put), not inferred."""
+    shapes = jax.eval_shape(tx.init, params)
+    ptree = jax.tree_util.tree_structure(params)
+    psh = param_shardings(params, mesh)
+    rep = NamedSharding(mesh, P())
+
+    def rec(node):
+        try:
+            if jax.tree_util.tree_structure(node) == ptree:
+                return psh
+        except Exception:
+            pass
+        if isinstance(node, tuple) and hasattr(node, "_fields"):  # NamedTuple
+            return type(node)(*(rec(getattr(node, f)) for f in node._fields))
+        if isinstance(node, (list, tuple)):
+            return type(node)(rec(x) for x in node)
+        if isinstance(node, dict):
+            return {k: rec(v) for k, v in node.items()}
+        return rep
+
+    return rec(shapes)

@@ -95,6 +95,62 @@ def test_sharded_forward_matches_single_device():
                                rtol=1e-4, atol=1e-5)
 
 
+def test_trainer_step_on_mesh_matches_single_device(tmp_path):
+    """A full Trainer_ASR_ST step on the (4, 2) mesh must produce the same
+    losses and updated params as the plain single-device jit step."""
+    from stjep_tpu.train.optim import make_optimizer
+    from stjep_tpu.train.policies import trainable_mask
+    from stjep_tpu.train.trainer import Trainer_ASR_ST
+
+    cfg = _tiny_cfg()
+    rng = np.random.RandomState(1)
+    B, T = 8, 16
+    item = {
+        "srcid": rng.randint(5, cfg.enc_vocab_size,
+                             size=(B, cfg.max_seq_len_src)).astype(np.int32),
+        "tgtid": rng.randint(5, cfg.dec_vocab_size,
+                             size=(B, cfg.max_seq_len_tgt)).astype(np.int32),
+        "acous_feat": rng.randn(B, T, cfg.acous_dim).astype(np.float32),
+        "acouslen": np.full((B,), T - 2, np.int32),
+    }
+    item["srcid"][:, 0] = BOS
+    item["tgtid"][:, 0] = BOS
+
+    def one_step(n_model, use_mesh, tag):
+        t = Trainer_ASR_ST(
+            expt_dir=str(tmp_path / tag), batch_size=B, minibatch_partition=2,
+            lr_warmup_steps=0, learning_rate=1e-3, learning_rate_init=1e-3,
+            seed=0,
+        )
+        params = init_seq2seq(jax.random.PRNGKey(0), cfg)
+        t._tx = make_optimizer(1.0, trainable_mask(params, lambda n: False))
+        if use_mesh:
+            t.n_model = n_model
+            t._setup_mesh()
+            assert dict(t._mesh.shape) == {"data": 8 // n_model,
+                                           "model": n_model}
+            params = t._place(params)
+        opt_state = t._init_opt(params)
+        params, opt_state, losses = t._train_batch(
+            cfg, params, opt_state, {k: v.copy() for k, v in item.items()}, 1
+        )
+        return losses, jax.device_get(params)
+
+    ref_losses, ref_params = one_step(1, False, "single")
+    for n_model in (1, 2):
+        losses, params = one_step(n_model, True, f"mesh{n_model}")
+        for k in ref_losses:
+            np.testing.assert_allclose(losses[k], ref_losses[k],
+                                       rtol=1e-5, atol=1e-6)
+        from stjep_tpu.train.policies import iter_paths
+
+        flat_ref = dict(iter_paths(ref_params))
+        for p, leaf in iter_paths(params):
+            np.testing.assert_allclose(
+                np.asarray(leaf), np.asarray(flat_ref[p]),
+                rtol=1e-5, atol=1e-6, err_msg=str(p))
+
+
 def test_dryrun_multichip_entrypoint():
     import __graft_entry__ as g
 

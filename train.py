@@ -135,6 +135,9 @@ def load_arguments(parser):
         help='acoustic time-axis shape bucket (frames); limits XLA recompiles')
     parser.add_argument('--remat', type=str, default='False',
         help='rematerialise transformer layers in backward (saves HBM)')
+    parser.add_argument('--n_model', type=int, default=1,
+        help='tensor-parallel degree of the (data, model) device mesh; '
+             'the data axis gets the remaining devices')
 
     return parser
 
@@ -282,6 +285,7 @@ def main():
         keep_num=config['keep_num'], normalise_loss=config['normalise_loss'],
         loss_coeff=loss_coeff, seed=config['random_seed'],
         acous_bucket=config['acous_bucket'],
+        n_model=config['n_model'],
     )
 
     train_sets, dev_sets, vocab_set = build_datasets(config, t)
