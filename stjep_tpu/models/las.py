@@ -32,6 +32,7 @@ def las_forward(
     acous_lens: Optional[jnp.ndarray] = None,
     tgt: Optional[jnp.ndarray] = None,
     use_teacher_forcing: bool = False,
+    teacher_forcing_ratio: Optional[float] = None,
     max_seq_len: Optional[int] = None,
     rng: Optional[jax.Array] = None,
     is_training: bool = False,
@@ -39,13 +40,17 @@ def las_forward(
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """(sequence_embs, logps, symbols, lengths) — ref: models/Las.py:91-123.
 
-    The teacher-forcing decision is made by the CALLER per batch (the
-    reference flips a coin `random.random() < ratio`, ref: Dec.py:196; in
-    practice ratio is only ever 1.0 or 0.0, so this is a static choice of
-    compiled branch).
+    Teacher forcing follows the reference's per-batch coin flip
+    `random.random() < ratio` (ref: Dec.py:196): pass
+    `teacher_forcing_ratio` to get that behavior (1.0/0.0 are static
+    branches, anything between draws one bernoulli from `rng`), or the
+    static `use_teacher_forcing` bool when the caller decides (the recipe
+    only ever uses ratio 1.0 or 0.0).
     """
-    if use_teacher_forcing:
-        assert tgt is not None  # ref: Las.py:107
+    if use_teacher_forcing or (
+        teacher_forcing_ratio is not None and teacher_forcing_ratio > 0.1
+    ):
+        assert tgt is not None  # ref: Las.py:107, Las.py:106
     if rng is not None:
         rng_enc, rng_dec = jax.random.split(rng)
     else:
@@ -56,6 +61,7 @@ def las_forward(
     )
     return las_decoder_forward(
         params["decoder"], cfg, acous_outputs, acous_lens=acous_lens, tgt=tgt,
-        use_teacher_forcing=use_teacher_forcing, max_seq_len=max_seq_len,
+        use_teacher_forcing=use_teacher_forcing,
+        teacher_forcing_ratio=teacher_forcing_ratio, max_seq_len=max_seq_len,
         rng=rng_dec, is_training=is_training, lm_fuse=lm_fuse,
     )

@@ -108,7 +108,7 @@ def _dec_lstm_stack(params, cfg, x, h, c, rng, training):
     return out, jnp.stack(hs), jnp.stack(cs)
 
 
-def las_decoder_step(
+def las_decoder_step_core(
     params: Dict,
     cfg: ModelConfig,
     pre_keys: Dict,
@@ -117,10 +117,14 @@ def las_decoder_step(
     emb_token: jnp.ndarray,  # [B, E]
     state: DecodeState,
     training: bool,
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, DecodeState]:
-    """One decode step (ref: Dec.py:344-438 forward_step).
-
-    Returns (cell_value [B,Hs], logp [B,V], attn [B,Tk], new_state)."""
+) -> Tuple[jnp.ndarray, jnp.ndarray, DecodeState]:
+    """Recurrent part of one decode step (ref: Dec.py:344-434 forward_step,
+    up to the dynamic embedding). Returns (cell_value [B,Hs], attn [B,Tk],
+    new_state). The output head (acous_out + log_softmax) is applied by the
+    caller: per step when the symbol feeds back (free running / LM fusion),
+    batched over all steps after the scan when teacher-forced — the
+    [B,Hs]x[Hs,V] projection is the FLOPs bulk of the step and batching it
+    turns L-1 launch-bound matmuls into one MXU call."""
     rng = state.rng
     x = jnp.concatenate([emb_token, state.cell_value], axis=-1)
     rng, k = jax.random.split(rng)
@@ -136,14 +140,33 @@ def las_decoder_step(
 
     ff_in = jnp.concatenate([att_out, query], axis=-1)  # [B, 1, 2Ha+Hd]
     cell_value = linear(params["acous_ffn"], ff_in)  # [B, 1, Hs]
-    logits = linear(params["acous_out"], cell_value[:, 0])  # [B, V]
-    logp = jax.nn.log_softmax(logits, axis=-1)
 
     new_prev_c = c_out if c_out is not None else state.prev_c
     new_state = state._replace(
         h=h, c=c, cell_value=cell_value[:, 0], prev_c=new_prev_c, rng=rng
     )
-    return cell_value[:, 0], logp, attn[:, 0], new_state
+    return cell_value[:, 0], attn[:, 0], new_state
+
+
+def las_decoder_step(
+    params: Dict,
+    cfg: ModelConfig,
+    pre_keys: Dict,
+    att_values: jnp.ndarray,
+    att_mask: Optional[jnp.ndarray],
+    emb_token: jnp.ndarray,
+    state: DecodeState,
+    training: bool,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, DecodeState]:
+    """One full decode step (ref: Dec.py:344-438 forward_step).
+
+    Returns (cell_value [B,Hs], logp [B,V], attn [B,Tk], new_state)."""
+    cell_value, attn, new_state = las_decoder_step_core(
+        params, cfg, pre_keys, att_values, att_mask, emb_token, state, training
+    )
+    logits = linear(params["acous_out"], cell_value)  # [B, V]
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    return cell_value, logp, attn, new_state
 
 
 def _greedy_update(step, logp, lengths):
@@ -162,6 +185,7 @@ def las_decoder_forward(
     acous_lens: Optional[jnp.ndarray] = None,  # [B] raw frame lengths
     tgt: Optional[jnp.ndarray] = None,  # [B, L] token ids (teacher forcing)
     use_teacher_forcing: bool = False,
+    teacher_forcing_ratio: Optional[float] = None,
     max_seq_len: Optional[int] = None,
     rng: Optional[jax.Array] = None,
     is_training: bool = False,
@@ -171,8 +195,27 @@ def las_decoder_forward(
 
     Returns (sequence_embs [B, L-1, Hs], logps [B, L-1, V],
              symbols [B, L-1], lengths [B]).
+
+    teacher_forcing_ratio, when given, reproduces the reference's per-batch
+    coin flip `random.random() < ratio` (ref: Dec.py:196): ratio >= 1.0 is
+    statically teacher-forced, ratio <= 0.0 statically free-running
+    (random.random() lies in [0, 1)), and anything in between draws one
+    bernoulli(ratio) from `rng` and selects the step input accordingly —
+    traced, so one compilation covers both outcomes.
     """
     B, Tk, _ = acous_outputs.shape
+    tf_coin = None  # traced per-batch teacher-forcing decision
+    if teacher_forcing_ratio is not None:
+        if teacher_forcing_ratio >= 1.0:
+            use_teacher_forcing = True
+        elif teacher_forcing_ratio <= 0.0:
+            use_teacher_forcing = False
+        else:
+            assert tgt is not None  # ref: Las.py:107
+            assert rng is not None, "stochastic teacher forcing needs rng"
+            rng, k = jax.random.split(rng)
+            tf_coin = jax.random.bernoulli(k, teacher_forcing_ratio)
+            use_teacher_forcing = True  # embeds tgt; body selects per coin
     if tgt is None:
         assert not use_teacher_forcing
         L = max_seq_len if max_seq_len is not None else cfg.max_seq_len_src
@@ -214,9 +257,43 @@ def las_decoder_forward(
     emb_steps = jnp.swapaxes(emb_tgt[:, : L - 1], 0, 1)  # [L-1, B, E]
     steps = jnp.arange(L - 1)
 
+    if tf_coin is None and use_teacher_forcing and lm_fuse is None:
+        # Static teacher forcing: no symbol feedback, so the output head
+        # (acous_out [Hs, V] + log_softmax) moves OUT of the scan — one
+        # [B*(L-1), Hs] x [Hs, V] MXU matmul instead of L-1 launch-bound
+        # per-step projections. This is the training hot path
+        # (SURVEY §3.1 HOTTEST); per-row math is unchanged, so outputs match
+        # the stepped head.
+        def body_tf(state, xs):
+            _step, emb_tf = xs
+            cell_value, _attn, state = las_decoder_step_core(
+                params, cfg, pre_keys, acous_outputs, att_mask, emb_tf,
+                state, training=is_training,
+            )
+            return state, cell_value
+
+        _final, embs = jax.lax.scan(body_tf, init, (steps, emb_steps))
+        embs_bt = jnp.swapaxes(embs, 0, 1)  # [B, L-1, Hs]
+        logits = linear(params["acous_out"], embs_bt)
+        logps_bt = jax.nn.log_softmax(logits, axis=-1)
+        symbols_bt = jnp.argmax(logps_bt, axis=-1)
+        # vectorised _greedy_update (ref: Dec.py:320-341): length = first
+        # emission of EOS-or-PAD + 1, else the full L
+        eos_bt = (symbols_bt == EOS) | (symbols_bt == PAD)
+        any_eos = jnp.any(eos_bt, axis=1)
+        first = jnp.argmax(eos_bt, axis=1).astype(jnp.int32)
+        lengths = jnp.where(any_eos, first + 1, jnp.int32(L))
+        return embs_bt, logps_bt, symbols_bt, lengths
+
     def body(state, xs):
         step, emb_tf = xs
-        if use_teacher_forcing:
+        if tf_coin is not None:
+            # per-batch coin (ref: Dec.py:196): teacher-forced input (with
+            # embedding_dropout already applied) vs raw embed of the previous
+            # greedy symbol, selected by one traced bernoulli draw.
+            emb_fr = embed(params["embedder"], state.symbol)
+            emb_in = jnp.where(tf_coin, emb_tf, emb_fr)
+        elif use_teacher_forcing:
             emb_in = emb_tf
         else:
             # free-running: raw embedder on previous greedy symbol
@@ -225,7 +302,11 @@ def las_decoder_forward(
             params, cfg, pre_keys, acous_outputs, att_mask, emb_in, state,
             training=is_training,
         )
-        if lm_fuse is not None:
+        if lm_fuse is not None and getattr(lm_fuse, "on_device", False):
+            # hashed n-gram probe table in HBM (infer/lm_table.py): pure
+            # gathers, no host sync
+            logp = lm_fuse(logp, state.ctx, step)
+        elif lm_fuse is not None:
             # n-gram LM shallow fusion over top candidates: the reference's
             # per-candidate host loop (ref: Dec.py:236-317) becomes a
             # pure_callback per step.

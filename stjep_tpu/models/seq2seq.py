@@ -133,12 +133,15 @@ def _pre_proc_src(src):
 
 def _encoder_acous(params, cfg: ModelConfig, acous_feats, acous_lens,
                    tgt=None, is_training=False, teacher_forcing=False,
-                   rng=None, max_seq_len=None, lm_fuse=None):
+                   teacher_forcing_ratio=None, rng=None, max_seq_len=None,
+                   lm_fuse=None):
     """LAS pass -> (dynamic embs, logps, preds, lengths)
-    (ref: Seq2seq.py:222-230)."""
+    (ref: Seq2seq.py:222-230). teacher_forcing_ratio, when given, overrides
+    the static bool with the reference's per-batch coin (ref: Dec.py:196)."""
     return las_forward(
         params["las"], cfg, acous_feats, acous_lens=acous_lens, tgt=tgt,
-        use_teacher_forcing=teacher_forcing, max_seq_len=max_seq_len,
+        use_teacher_forcing=teacher_forcing,
+        teacher_forcing_ratio=teacher_forcing_ratio, max_seq_len=max_seq_len,
         rng=rng, is_training=is_training, lm_fuse=lm_fuse,
     )
 
@@ -224,7 +227,19 @@ def forward_train(
 
     if "AE" in mode:
         # autoencoder head over the dynamic embedding (ref: Seq2seq.py:240-246)
-        logits_ae, logps_ae, preds_ae = _decoder_en(params, out["emb_asr"])
+        if "ASR" in mode:
+            emb_ae = out["emb_asr"]
+        else:
+            # src-only AE: combined static+avg-dynamic embedding (the only
+            # text-derived embedding; see forward_eval's AE note)
+            src_trim_ae = _pre_proc_src(src)
+            Bae, Lae = src_trim_ae.shape
+            dyn_ae = jax.lax.stop_gradient(params["emb_dyn_ave"])
+            emb_dyn_ae = jnp.broadcast_to(
+                dyn_ae[None, None, :], (Bae, Lae, cfg.dim_model)
+            )
+            _, emb_ae, _ = _get_src_emb(params, cfg, src_trim_ae, emb_dyn_ae)
+        logits_ae, logps_ae, preds_ae = _decoder_en(params, emb_ae)
         out["logps_ae"] = logps_ae
         out["preds_ae"] = preds_ae
 
@@ -374,6 +389,30 @@ def forward_eval(
         out["preds_asr"] = preds_src
         out["logps_asr"] = logps_src
         out["lengths_asr"] = lengths
+
+    if "AE" in mode:
+        # AE head eval. The reference's forward_eval asserts src for AE
+        # (ref: Seq2seq.py:532) but never produces the preds_ae/logps_ae its
+        # own (archived) AE trainer reads (trainer/archive/trainer_ae_mt.py:158)
+        # — the branch was lost; `_decoder_en` (ref: Seq2seq.py:240-246) is
+        # dead code. Reconstructed intent: project the available embedding
+        # through the shared LAS output layer (ref: Seq2seq.py:172-173).
+        # With ASR in the mode the free-running dynamic embedding is used
+        # (mirrors forward_train's AE branch); src-only AE (e.g. AE_MT)
+        # projects the combined static+avg-dynamic embedding, the only
+        # text-derived embedding in the current model.
+        if "ASR" in mode:
+            emb_ae = out["emb_asr"]
+        else:
+            src_trim = _pre_proc_src(src)
+            B, Ls = src_trim.shape
+            emb_dyn = jnp.broadcast_to(
+                params["emb_dyn_ave"][None, None, :], (B, Ls, cfg.dim_model)
+            )
+            _, emb_ae, _ = _get_src_emb(params, cfg, src_trim, emb_dyn)
+        _, logps_ae, preds_ae = _decoder_en(params, emb_ae)
+        out["logps_ae"] = logps_ae
+        out["preds_ae"] = preds_ae
 
     if "MT" in mode:
         src_trim = _pre_proc_src(src)

@@ -98,3 +98,97 @@ def test_mode_input_assertions():
                       acous_lens=lens)
     with pytest.raises(AssertionError):
         forward_train(params, cfg, "ST", src, tgt=tgt, acous_feats=None)
+
+
+# --------------------------------------------------------------------------
+# forward_eval AE branch (reconstructed; the reference's own AE eval is dead:
+# forward_eval asserts src for AE (ref: Seq2seq.py:532) but never emits the
+# preds_ae/logps_ae its archived AE trainer reads, and _decoder_en
+# (ref: Seq2seq.py:240-246) has no caller)
+# --------------------------------------------------------------------------
+
+
+def test_forward_eval_ae_asr_uses_dynamic_embedding():
+    cfg = _mk("AE-ASR")
+    params = init_seq2seq(jax.random.PRNGKey(0), cfg)
+    feats, lens, src, tgt = _batch(cfg)
+    out = forward_eval(params, cfg, "AE-ASR", src=src, acous_feats=feats,
+                       acous_lens=lens)
+    from stjep_tpu.models.seq2seq import _decoder_en
+
+    _, logps, preds = _decoder_en(params, out["emb_asr"])
+    np.testing.assert_allclose(np.asarray(out["logps_ae"]),
+                               np.asarray(logps), rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(out["preds_ae"]),
+                                  np.asarray(preds))
+
+
+def test_forward_eval_ae_src_only_shapes():
+    # src-only AE: combined static+avg-dynamic embedding through the shared
+    # LAS output layer; las exists via load_mode (comb_mode semantics,
+    # ref: Seq2seq.py:143-144)
+    cfg = _mk("AE", load_mode="ASR")
+    params = init_seq2seq(jax.random.PRNGKey(0), cfg)
+    feats, lens, src, tgt = _batch(cfg)
+    out = forward_eval(params, cfg, "AE", src=src)
+    B, Ls = src.shape
+    assert out["logps_ae"].shape == (B, Ls - 1, cfg.enc_vocab_size)
+    assert out["preds_ae"].shape == (B, Ls - 1)
+    out_tr = forward_train(params, cfg, "AE", src, is_training=False)
+    np.testing.assert_allclose(np.asarray(out_tr["logps_ae"]),
+                               np.asarray(out["logps_ae"]), rtol=1e-6)
+
+
+# --------------------------------------------------------------------------
+# teacher_forcing_ratio as the reference's per-batch coin (ref: Dec.py:196)
+# --------------------------------------------------------------------------
+
+
+def _las_setup():
+    cfg = _mk("ASR")
+    params = init_seq2seq(jax.random.PRNGKey(0), cfg)
+    feats, lens, src, tgt = _batch(cfg)
+    return cfg, params["las"], feats, lens, src
+
+
+def test_teacher_forcing_ratio_extremes_match_static_bool():
+    from stjep_tpu.models.las import las_forward
+
+    cfg, las, feats, lens, src = _las_setup()
+    rng = jax.random.PRNGKey(3)
+    for ratio, tf in ((1.0, True), (0.0, False)):
+        a = las_forward(las, cfg, feats, acous_lens=lens, tgt=src,
+                        teacher_forcing_ratio=ratio, rng=rng)
+        b = las_forward(las, cfg, feats, acous_lens=lens, tgt=src,
+                        use_teacher_forcing=tf, rng=rng)
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_teacher_forcing_ratio_stochastic_selects_a_branch():
+    from stjep_tpu.models.las import las_forward
+
+    cfg, las, feats, lens, src = _las_setup()
+    tf_out = las_forward(las, cfg, feats, acous_lens=lens, tgt=src,
+                         use_teacher_forcing=True)
+    fr_out = las_forward(las, cfg, feats, acous_lens=lens, tgt=src,
+                         use_teacher_forcing=False)
+    # discriminate on logps: an untrained model's argmax is degenerate, but
+    # the step inputs (teacher tokens vs fed-back symbols) differ, so the
+    # logp trajectories do
+    tf_lp = np.asarray(tf_out[1])
+    fr_lp = np.asarray(fr_out[1])
+    assert not np.allclose(tf_lp, fr_lp)
+    seen = set()
+    for seed in range(8):
+        out = las_forward(las, cfg, feats, acous_lens=lens, tgt=src,
+                          teacher_forcing_ratio=0.5,
+                          rng=jax.random.PRNGKey(seed))
+        lp = np.asarray(out[1])
+        if np.allclose(lp, tf_lp):
+            seen.add("tf")
+        elif np.allclose(lp, fr_lp):
+            seen.add("fr")
+        else:
+            raise AssertionError("stochastic TF output matches neither branch")
+    assert seen == {"tf", "fr"}, seen

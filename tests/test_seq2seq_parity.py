@@ -165,3 +165,22 @@ def test_forward_eval_asr_st_token_identical(setup):
     ref_preds = ref_out["preds_st"].numpy()
     got = np.asarray(out["preds_st"])[:, : ref_preds.shape[1]]
     np.testing.assert_array_equal(got, ref_preds)
+
+
+def test_ae_head_logps_match_reference(setup):
+    """AE head oracle: the only executable AE piece in the reference is the
+    shared output layer `out_src = las.decoder.acous_out` + log_softmax
+    (ref: Seq2seq.py:172-173, 240-246; `_decoder_en` itself has no caller —
+    the eval branch was lost upstream). Pin our _decoder_en to torch's math
+    on the converted weights."""
+    cfg, ref, params, feats, lens, src, tgt = setup
+    from stjep_tpu.models.seq2seq import _decoder_en
+
+    rng = np.random.RandomState(7)
+    emb = rng.randn(2, 5, cfg.dim_model).astype(np.float32)
+    with torch.no_grad():
+        logits_t = ref.las.decoder.acous_out(torch.tensor(emb))
+        logps_t = torch.log_softmax(logits_t, dim=2).numpy()
+    _, logps, preds = _decoder_en(params, jnp.asarray(emb))
+    np.testing.assert_allclose(np.asarray(logps), logps_t, atol=2e-6)
+    np.testing.assert_array_equal(np.asarray(preds), logps_t.argmax(-1))
