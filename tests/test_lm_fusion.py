@@ -94,3 +94,130 @@ def test_fuser_inside_jitted_decode():
     ctx0 = jnp.zeros((1, 3), jnp.int32)
     _, syms = jax.lax.scan(step, ctx0, jnp.arange(4))
     assert syms.shape == (4, 1)
+
+
+# --------------------------------------------------------------------------
+# on-device hashed-table fusion (infer/lm_table.py) vs the callback path
+# --------------------------------------------------------------------------
+
+
+def _toy_entries(vocab=16, seed=0):
+    """Explicit ngram logprobs over small contexts (orders 1..4)."""
+    rng = np.random.RandomState(seed)
+    entries = {}
+    for w in range(vocab):  # full unigram coverage
+        entries[(w,)] = float(-rng.uniform(0.5, 6.0))
+    for _ in range(120):
+        n = rng.randint(1, 4)  # context length 1..3
+        key = tuple(int(x) for x in rng.randint(0, vocab, size=n + 1))
+        entries[key] = float(-rng.uniform(0.5, 6.0))
+    return entries
+
+
+class DictLM:
+    """Strict dict LM: logscore is the stored value or -inf (like an NLTK
+    MLE model for unseen ngrams)."""
+
+    def __init__(self, entries):
+        self.entries = entries
+
+    def logscore(self, word, context):
+        key = tuple(int(x) for x in context) + (int(word),)
+        return self.entries.get(key, float("-inf"))
+
+
+class BackoffLM:
+    """Host ARPA-style backoff LM matching NGramTable's backoff recursion."""
+
+    def __init__(self, entries, backoffs):
+        self.entries = entries
+        self.backoffs = backoffs
+
+    def logscore(self, word, context):
+        ctx = tuple(int(x) for x in context)
+        w = int(word)
+        acc = 0.0
+        while True:
+            if ctx + (w,) in self.entries:
+                return acc + self.entries[ctx + (w,)]
+            if not ctx:
+                return float("-inf")
+            acc += self.backoffs.get(ctx, 0.0)
+            ctx = ctx[1:]
+
+
+def test_table_fuser_matches_callback_strict():
+    from stjep_tpu.infer.lm_table import NGramTable, make_table_fuser
+
+    entries = _toy_entries()
+    lm = DictLM(entries)
+    fuse_cb = make_ngram_fuser(lm, "s-4g_0.5")
+    table = NGramTable.from_ngrams(entries)
+    assert not table.backoff
+    fuse_dev = jax.jit(make_table_fuser(table, "s-4g_0.5"))
+
+    rng = np.random.RandomState(3)
+    B, V = 4, 16
+    for step in (0, 1, 2, 3, 7):
+        logps = np.log(rng.dirichlet(np.ones(V), size=B)).astype(np.float32)
+        ctx = rng.randint(0, V, size=(B, 3)).astype(np.int32)
+        want = fuse_cb(logps, ctx, step)
+        got = np.asarray(fuse_dev(jnp.asarray(logps), jnp.asarray(ctx),
+                                  jnp.int32(step)))
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_table_fuser_matches_callback_backoff():
+    from stjep_tpu.infer.lm_table import NGramTable, make_table_fuser
+
+    rng = np.random.RandomState(5)
+    entries = _toy_entries(seed=5)
+    backoffs = {}
+    for key in list(entries):
+        if len(key) <= 3 and rng.rand() < 0.6:
+            backoffs[key] = float(-rng.uniform(0.1, 1.5))
+    lm = BackoffLM(entries, backoffs)
+    fuse_cb = make_ngram_fuser(lm, "s-4g_0.3")
+    table = NGramTable.from_ngrams(entries, backoffs)
+    assert table.backoff
+    fuse_dev = jax.jit(make_table_fuser(table, "s-4g_0.3"))
+
+    B, V = 3, 16
+    for step in (0, 1, 2, 5):
+        logps = np.log(rng.dirichlet(np.ones(V), size=B)).astype(np.float32)
+        ctx = rng.randint(0, V, size=(B, 3)).astype(np.int32)
+        want = fuse_cb(logps, ctx, step)
+        got = np.asarray(fuse_dev(jnp.asarray(logps), jnp.asarray(ctx),
+                                  jnp.int32(step)))
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_table_fuser_in_las_decode_matches_callback():
+    """End-to-end: free-running LAS greedy decode with the on-device table
+    produces the same symbols and logps as the host-callback path."""
+    from stjep_tpu.config import ModelConfig
+    from stjep_tpu.infer.lm_table import NGramTable, make_table_fuser
+    from stjep_tpu.models.las_decoder import las_decoder_forward, las_decoder_init
+
+    V = 16
+    cfg = ModelConfig(
+        enc_vocab_size=V, dec_vocab_size=V, enc_embedding_size=4,
+        acous_dim=4, acous_hidden_size=4, dim_model=8, num_unilstm_dec=2,
+        max_seq_len_src=9, dropout=0.0, mode="ASR",
+    )
+    params = las_decoder_init(jax.random.PRNGKey(0), cfg)
+    rng = np.random.RandomState(0)
+    acous = jnp.asarray(rng.randn(2, 6, 2 * cfg.acous_hidden_size)
+                        .astype(np.float32))
+
+    entries = _toy_entries(vocab=V, seed=2)
+    lm = DictLM(entries)
+    table = NGramTable.from_ngrams(entries)
+    out_cb = las_decoder_forward(
+        params, cfg, acous, lm_fuse=make_ngram_fuser(lm, "s-4g_0.4"))
+    out_dev = las_decoder_forward(
+        params, cfg, acous, lm_fuse=make_table_fuser(table, "s-4g_0.4"))
+    np.testing.assert_array_equal(np.asarray(out_cb[2]), np.asarray(out_dev[2]))
+    np.testing.assert_allclose(np.asarray(out_cb[1]), np.asarray(out_dev[1]),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(out_cb[3]), np.asarray(out_dev[3]))
