@@ -45,6 +45,15 @@ def is_primary() -> bool:
     return jax.process_index() == 0
 
 
+def barrier(name: str = "barrier") -> None:
+    """Cross-process sync point (no-op single-process). Used around
+    checkpoint writes so non-primaries never read a half-written dir."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices(name)
+
+
 def local_batch_slice(global_batch: int) -> slice:
     """The row range of the global batch this host should feed."""
     per_host = global_batch // jax.process_count()

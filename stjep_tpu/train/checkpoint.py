@@ -22,6 +22,8 @@ import numpy as np
 import jax
 from flax import serialization
 
+from stjep_tpu.parallel.distributed import barrier, is_primary
+
 CHECKPOINT_DIR_NAME = "checkpoints"
 CHECKPOINT_EPOCH_DIR_NAME = "checkpoints_epoch"
 PARAMS_NAME = "params.msgpack"
@@ -29,6 +31,25 @@ OPT_NAME = "opt_state.msgpack"
 META_NAME = "meta.json"
 INPUT_VOCAB_FILE = "input_vocab.json"
 OUTPUT_VOCAB_FILE = "output_vocab.json"
+
+
+def _gather_tree(tree):
+    """Materialise a (possibly cross-host sharded) pytree as host numpy.
+
+    Fully-addressable leaves (single process, or replicated/TP within this
+    host's devices) are a plain device_get; leaves sharded across processes
+    are allgathered so process 0 can serialise the full value. Collective:
+    every process must call this.
+    """
+
+    def fn(x):
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            from jax.experimental import multihost_utils
+
+            return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+        return np.asarray(jax.device_get(x))
+
+    return jax.tree_util.tree_map(fn, tree)
 
 
 class Checkpoint:
@@ -55,21 +76,34 @@ class Checkpoint:
     # ----------------------------------------------------------- saving
 
     def _write(self, path: str) -> str:
-        if os.path.exists(path):
-            shutil.rmtree(path)
-        os.makedirs(path)
-        with open(os.path.join(path, PARAMS_NAME), "wb") as f:
-            f.write(serialization.to_bytes(jax.device_get(self.params)))
-        if self.opt_state is not None:
-            with open(os.path.join(path, OPT_NAME), "wb") as f:
-                f.write(serialization.to_bytes(jax.device_get(self.opt_state)))
-        with open(os.path.join(path, META_NAME), "w") as f:
-            json.dump({"epoch": self.epoch, "step": self.step,
-                       "model_config": self.model_config}, f)
-        with open(os.path.join(path, INPUT_VOCAB_FILE), "w") as f:
-            json.dump(list(self.input_vocab), f)
-        with open(os.path.join(path, OUTPUT_VOCAB_FILE), "w") as f:
-            json.dump(list(self.output_vocab), f)
+        """Write the checkpoint dir.
+
+        Multi-host: every process participates (arrays sharded across hosts
+        are gathered collectively — skipping the call on non-primaries would
+        deadlock), but only process 0 touches the filesystem; all processes
+        sync before returning so a subsequent load sees a complete dir.
+        """
+        params = _gather_tree(self.params)
+        opt_state = (
+            _gather_tree(self.opt_state) if self.opt_state is not None else None
+        )
+        if is_primary():
+            if os.path.exists(path):
+                shutil.rmtree(path)
+            os.makedirs(path)
+            with open(os.path.join(path, PARAMS_NAME), "wb") as f:
+                f.write(serialization.to_bytes(params))
+            if opt_state is not None:
+                with open(os.path.join(path, OPT_NAME), "wb") as f:
+                    f.write(serialization.to_bytes(opt_state))
+            with open(os.path.join(path, META_NAME), "w") as f:
+                json.dump({"epoch": self.epoch, "step": self.step,
+                           "model_config": self.model_config}, f)
+            with open(os.path.join(path, INPUT_VOCAB_FILE), "w") as f:
+                json.dump(list(self.input_vocab), f)
+            with open(os.path.join(path, OUTPUT_VOCAB_FILE), "w") as f:
+                json.dump(list(self.output_vocab), f)
+        barrier("ckpt_write:" + os.path.basename(path))
         self._path = path
         return path
 
