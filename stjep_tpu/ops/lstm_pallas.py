@@ -155,13 +155,3 @@ def _bwd(res, g):
 
 
 bilstm_pallas.defvjp(_fwd, _bwd)
-
-
-def bilstm_auto(params_fwd, params_bwd, x, lengths=None, use_pallas=True):
-    """Pallas kernel on TPU, XLA scan elsewhere/on failure."""
-    if use_pallas and jax.default_backend() in ("tpu", "axon"):
-        try:
-            return bilstm_pallas(params_fwd, params_bwd, x, lengths)
-        except Exception:
-            pass
-    return lstm_ref.bilstm(params_fwd, params_bwd, x, lengths=lengths)

@@ -9,6 +9,10 @@ Runs in pallas interpret mode on CPU. Two layers of pinning:
    on a tiny random model.
 """
 
+import pytest
+
+pytestmark = pytest.mark.slow  # interpret-mode Pallas: minutes on CPU
+
 import numpy as np
 
 import jax

@@ -1,5 +1,9 @@
 """Pallas fused BiLSTM kernel parity (interpreter mode on CPU)."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # interpret-mode Pallas: minutes on CPU
+
 import numpy as np
 import pytest
 

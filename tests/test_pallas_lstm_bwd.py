@@ -1,5 +1,9 @@
 """Fused Pallas BiLSTM backward: gradients must match the XLA scan VJP."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # interpret-mode Pallas: minutes on CPU
+
 import numpy as np
 import pytest
 
