@@ -166,6 +166,8 @@ def bench_tpu(n_iters: int = 20, train_iters: int = 10, train_repeats: int = 3):
     from stjep_tpu.train.optim import make_optimizer, set_lr
     import optax
 
+    from stjep_tpu.utils.misc import root_key
+
     tx = make_optimizer(1.0)
     opt_state = set_lr(tx.init(params), 1e-4)
 
@@ -190,7 +192,7 @@ def bench_tpu(n_iters: int = 20, train_iters: int = 10, train_repeats: int = 3):
     # layouts that differ from the freshly-initialised arrays
     for w in (1, 2):
         params, opt_state, loss = step(params, opt_state, feats, lens, src,
-                                       tgt, jax.random.PRNGKey(w))
+                                       tgt, root_key(w))
         _ = float(loss)
     # time the async-dispatched pipeline and drain once at the end: a real
     # training loop does not read the loss back every step, and on axon a
@@ -201,7 +203,7 @@ def bench_tpu(n_iters: int = 20, train_iters: int = 10, train_repeats: int = 3):
         t0 = time.perf_counter()
         for i in range(train_iters):
             params, opt_state, loss = step(params, opt_state, feats, lens,
-                                           src, tgt, jax.random.PRNGKey(i))
+                                           src, tgt, root_key(i))
         _ = float(loss)
         rates.append(train_iters / (time.perf_counter() - t0))
     step_per_s = float(np.median(rates))
@@ -215,7 +217,7 @@ def bench_tpu(n_iters: int = 20, train_iters: int = 10, train_repeats: int = 3):
     for w in (1, 2):
         params16, opt_state16, loss = step16(params16, opt_state16, feats,
                                              lens, src, tgt,
-                                             jax.random.PRNGKey(w))
+                                             root_key(w))
         _ = float(loss)
     rates16 = []
     for _r in range(train_repeats):
@@ -223,7 +225,7 @@ def bench_tpu(n_iters: int = 20, train_iters: int = 10, train_repeats: int = 3):
         for i in range(train_iters):
             params16, opt_state16, loss = step16(params16, opt_state16, feats,
                                                  lens, src, tgt,
-                                                 jax.random.PRNGKey(i))
+                                                 root_key(i))
         _ = float(loss)
         rates16.append(train_iters / (time.perf_counter() - t0))
     step_bf16_per_s = float(np.median(rates16))

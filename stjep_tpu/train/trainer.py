@@ -136,7 +136,9 @@ class Trainer:
         self.minibatch_size = max(1, int(self.batch_size / self.minibatch_partition))
         self.seed = seed
         self.acous_bucket = acous_bucket  # shape-bucketing granularity
-        self._root_rng = jax.random.PRNGKey(seed)
+        # hardware RNG on TPU: threefry dropout-mask generation costs real
+        # VPU time at flagship shapes (see utils/misc.root_key)
+        self._root_rng = _misc.root_key(seed)
         self._step_fn = None
         self._eval_fn_cache: Dict = {}
         self._lr_curr = learning_rate_init

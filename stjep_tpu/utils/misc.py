@@ -25,6 +25,25 @@ def set_global_seeds(i: int):
     random.seed(i)
 
 
+def root_key(seed: int, impl: str = "auto"):
+    """Root PRNG key for training randomness (dropout, SpecAugment).
+
+    impl 'auto' picks the TPU hardware RNG ('rbg') on tpu/axon backends and
+    threefry elsewhere: threefry mask generation is pure VPU ALU work and
+    measurably taxes the train step (~3.5 ms of a ~39 ms flagship step in
+    the TF decoder alone), while rbg uses the on-chip generator. rbg keys
+    are deterministic per compiled program but not bit-stable across
+    backends/XLA versions — fine for dropout, which the reference draws
+    from torch's global RNG anyway. Splits preserve the impl, so one root
+    key switches every downstream draw."""
+    import jax
+
+    if impl == "auto":
+        impl = ("rbg" if jax.default_backend() in ("tpu", "axon")
+                else "threefry2x32")
+    return jax.random.key(seed, impl=impl)
+
+
 def get_memory_alloc() -> Tuple[float, float, float]:
     """(kb, mb, gb) RSS of this process (ref: utils/misc.py:136-146)."""
     try:
