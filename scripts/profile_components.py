@@ -47,15 +47,23 @@ tgt = jnp.asarray(rng.randint(5, 200, size=(B, 150)).astype(np.int32)
 key = jax.random.PRNGKey(1)
 
 
-def timeit(fn, *args, n=10, warm=2):
+def timeit(fn, *args, n=20, warm=2):
+    """Pipelined timing: async-dispatch n calls, ONE readback at the end
+    (a per-iteration readback costs the ~28 ms axon tunnel RTT and would
+    swamp 5-15 ms kernels). Median of 3 windows."""
+    def drain(out):
+        _ = float(jnp.sum(
+            jax.tree_util.tree_leaves(out)[0].astype(jnp.float32)))
     for _ in range(warm):
-        out = fn(*args)
-        _ = float(jnp.sum(jax.tree_util.tree_leaves(out)[0].astype(jnp.float32)))
-    t0 = time.perf_counter()
-    for _ in range(n):
-        out = fn(*args)
-        _ = float(jnp.sum(jax.tree_util.tree_leaves(out)[0].astype(jnp.float32)))
-    return (time.perf_counter() - t0) / n * 1000
+        drain(fn(*args))
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(n):
+            out = fn(*args)
+        drain(out)
+        times.append((time.perf_counter() - t0) / n * 1000)
+    return sorted(times)[1]
 
 
 # --- forward components -----------------------------------------------------

@@ -178,14 +178,19 @@ def _self_core(pos, x, anc_ref, maskk_ref,
         # selects over the (<= beam width) group rows, no gathers.
         # NB: bool masks are expanded through f32 (Mosaic can't insert a
         # minor dim on 1-bit vectors) and re-compared after expansion.
-        ksel = jnp.zeros((BK, blk, D), f32)
-        vsel = jnp.zeros((BK, blk, D), f32)
+        # The selects run in the CACHE dtype: for bf16 caches this halves
+        # the dominant VPU select traffic (ROADMAP #2 "bf16 select
+        # arithmetic"); the f32-parity mode is unchanged. Scores still
+        # accumulate f32 on the MXU via preferred_element_type.
+        sdt = kbuf.dtype
+        ksel = jnp.zeros((BK, blk, D), sdt)
+        vsel = jnp.zeros((BK, blk, D), sdt)
         for j in range(group):
             kj = jnp.broadcast_to(
-                kbuf[slot, j].astype(f32)[:, None], (B, group, blk, D)
+                kbuf[slot, j][:, None], (B, group, blk, D)
             ).reshape(BK, blk, D)
             vj = jnp.broadcast_to(
-                vbuf[slot, j].astype(f32)[:, None], (B, group, blk, D)
+                vbuf[slot, j][:, None], (B, group, blk, D)
             ).reshape(BK, blk, D)
             take = (anc_blk == j).astype(f32)[:, :, None] > 0.5
             ksel = jnp.where(take, kj, ksel)
@@ -195,12 +200,14 @@ def _self_core(pos, x, anc_ref, maskk_ref,
         # not in HBM yet; anc[pos] is each row's own index, so the straight
         # b-major rows are the right values)
         atpos = (lidx == pos).astype(f32)[:, :, None] > 0.5
-        ksel = jnp.where(atpos, k_new[:, None, :], ksel)
-        vsel = jnp.where(atpos, v_new[:, None, :], vsel)
+        ksel = jnp.where(atpos, k_new[:, None, :].astype(sdt), ksel)
+        vsel = jnp.where(atpos, v_new[:, None, :].astype(sdt), vsel)
 
-        # per-head scores via the head-selector matmul (no lane reshape)
-        prod = q[:, None, :] * ksel  # [BK, BLOCK, D]
-        s = jnp.dot(prod.reshape(BK * blk, D), hsel,
+        # per-head scores via the head-selector matmul (no lane reshape);
+        # hsel matches the select dtype so nothing silently promotes back
+        # to f32 (accumulation stays f32 via preferred_element_type)
+        prod = q[:, None, :].astype(sdt) * ksel  # [BK, BLOCK, D]
+        s = jnp.dot(prod.reshape(BK * blk, D), hsel.astype(sdt),
                     preferred_element_type=f32).reshape(BK, blk, n_head)
         s = jnp.where(valid.astype(f32)[:, :, None] > 0.5, s, NEG)
 
@@ -404,12 +411,14 @@ def _cross_core(x, memmask_ref,
         kw.wait()
         vw.wait()
 
-        # memory rows are shared by all `group` beam rows of a batch entry
+        # memory rows are shared by all `group` beam rows of a batch entry;
+        # broadcasts stay in the memory dtype (halves traffic for bf16)
+        mdt_k = kbuf.dtype
         kblk = jnp.broadcast_to(
-            kbuf[slot].astype(f32)[:, None], (B, group, bs, D)
+            kbuf[slot][:, None], (B, group, bs, D)
         ).reshape(BK, bs, D)
         vblk = jnp.broadcast_to(
-            vbuf[slot].astype(f32)[:, None], (B, group, bs, D)
+            vbuf[slot][:, None], (B, group, bs, D)
         ).reshape(BK, bs, D)
         # mask arrives TRANSPOSED [Lk, B]; beam-expand rows via the 0/1
         # expansion matmul (no sublane-merging reshapes)
@@ -417,8 +426,8 @@ def _cross_core(x, memmask_ref,
             memmask_ref[pl.ds(i * bs, bs), :], 0, 1).astype(f32)  # [B, bs]
         msk = jnp.dot(expand, mm, preferred_element_type=f32)  # [BK, bs] f32
 
-        prod = q[:, None, :] * kblk  # [BK, bs, D]
-        s = jnp.dot(prod.reshape(BK * bs, D), hsel,
+        prod = q[:, None, :].astype(mdt_k) * kblk  # [BK, bs, D]
+        s = jnp.dot(prod.reshape(BK * bs, D), hsel.astype(mdt_k),
                     preferred_element_type=f32).reshape(BK, bs, n_head)
         s = jnp.where(msk[:, :, None] > 0.5, s, NEG)
 
