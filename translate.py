@@ -45,7 +45,9 @@ def load_arguments(parser):
     parser.add_argument('--seqrev', type=str, default=False, help='whether or not to reverse sequence')
     parser.add_argument('--lm_path', type=str, default='None',
         help='path to pickled n-gram LM (the reference hardcodes its LM dir, '
-             'ref: translate.py:88-93)')
+             'ref: translate.py:88-93). A .logscore object decodes via a '
+             'host callback; a {"entries": {(ids...): logp}, "backoffs": '
+             '{...}} dict builds an on-device hashed table (no host sync)')
     parser.add_argument('--beam_cache_dtype', type=str, default='float32',
         help='KV-cache dtype for beam decode: float32 (token-identical to '
              'the reference) | bfloat16 (~1.5x faster, may flip near-ties)')
@@ -100,7 +102,19 @@ def translate(test_set, cfg, params, test_path_out, max_seq_len, beam_width,
         cfg = dataclasses.replace(cfg, max_seq_len_src=150)
     from stjep_tpu.infer.lm_fusion import make_ngram_fuser
 
-    lm_fuse = make_ngram_fuser(lm_model, lm_mode)
+    if isinstance(lm_model, dict) and "entries" in lm_model:
+        # explicit ngram export {entries: {(ids...): logp}, backoffs: {...}}
+        # -> on-device hashed probe table (no per-step host sync);
+        # arbitrary .logscore objects keep the host-callback path
+        from stjep_tpu.infer.lm_table import NGramTable, make_table_fuser
+
+        table = NGramTable.from_ngrams(
+            {tuple(k): v for k, v in lm_model["entries"].items()},
+            {tuple(k): v for k, v in (lm_model.get("backoffs") or {}).items()},
+        )
+        lm_fuse = make_table_fuser(table, lm_mode)
+    else:
+        lm_fuse = make_ngram_fuser(lm_model, lm_mode)
     cache_dtype = jnp.bfloat16 if beam_cache_dtype == 'bfloat16' else None
     fwd = jax.jit(partial(
         forward_translate, cfg=cfg, mode=gen_mode, beam_width=beam_width,
