@@ -1,0 +1,173 @@
+"""End-to-end quality measurement on a learnable synthetic ST corpus.
+
+The reference publishes no quality numbers (SURVEY §6) and no public corpus
+is reachable from this environment, so quality is measured on a synthetic
+but *learnable* speech-translation task (tests/data_factory.py with
+learnable=True: every source word has a fixed acoustic prototype; utterances
+are prototype concatenations + noise; the word->char translation is
+deterministic). The staged recipe (ASR pretrain -> dyn-emb artifact ->
+joint ASR_ST) runs through the real CLIs, then dev-set quality is measured
+from beam decodes: ASR WER + ST BLEU. Results land in
+benchmarks/quality_synthetic.json for BASELINE.md.
+
+Usage: python scripts/measure_quality.py [workdir]
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+N_TRAIN = 360
+N_DEV = 48
+EPOCHS_ASR = 30
+EPOCHS_JOINT = 30
+
+DIMS = dict(
+    las_acous_dim=8, las_acous_hidden_size=16, dim_model=32,
+    dim_feedforward=64, num_heads=4, enc_layers=2, dec_layers=2,
+    embedding_size_enc=16, embedding_size_dec=32,
+    max_seq_len_src=10, max_seq_len_tgt=24,
+)
+
+
+def sh(cmd, log):
+    t0 = time.time()
+    with open(log, "w") as f:
+        r = subprocess.run(cmd, stdout=f, stderr=subprocess.STDOUT, cwd=ROOT)
+    if r.returncode != 0:
+        print(open(log).read()[-4000:])
+        raise RuntimeError(f"failed ({log}): {' '.join(cmd)}")
+    return time.time() - t0
+
+
+def common_flags(data):
+    flags = [
+        "--path_vocab_src", f"{data}/vocab.src",
+        "--path_vocab_tgt", f"{data}/vocab.tgt",
+        "--las_acous_norm", "False", "--use_type", "char",
+        "--batch_size", "32", "--minibatch_partition", "1",
+        "--checkpoint_every", "12", "--print_every", "12",
+        "--learning_rate", "0.003", "--learning_rate_init", "0.003",
+        "--lr_warmup_steps", "0", "--max_count_no_improve", "30",
+        "--max_count_num_rollback", "30",
+    ]
+    for k, v in DIMS.items():
+        flags += [f"--{k}", str(v)]
+    return flags
+
+
+def latest_ckpt(expt):
+    from stjep_tpu.train.checkpoint import Checkpoint
+
+    return Checkpoint.get_latest_checkpoint(expt)
+
+
+def read_lines(path):
+    with open(path) as f:
+        return [l.rstrip("\n") for l in f]
+
+
+def main():
+    work = sys.argv[1] if len(sys.argv) > 1 else "/tmp/stjep_quality"
+    os.makedirs(work, exist_ok=True)
+    data = os.path.join(work, "data")
+
+    from tests.data_factory import make_corpus
+
+    make_corpus(data, n_sent=N_TRAIN, learnable=True, seed=0, prefix="train")
+    make_corpus(data, n_sent=N_DEV, learnable=True, seed=7, prefix="dev")
+    py = sys.executable
+    C = common_flags(data)
+
+    # --- stage 1: ASR pretrain -------------------------------------------
+    print("[1/4] ASR pretrain", flush=True)
+    t_asr = sh([py, "train.py", "--mode", "ASR", "--save", f"{work}/asr",
+                "--num_epochs", str(EPOCHS_ASR),
+                "--asr_train_path_src", f"{data}/train.src",
+                "--asr_train_acous_path", f"{data}/train.flis",
+                "--asr_dev_path_src", f"{data}/dev.src",
+                "--asr_dev_acous_path", f"{data}/dev.flis",
+                *C], f"{work}/log.asr")
+    asr_ckpt = latest_ckpt(f"{work}/asr")
+    print(f"    ckpt={asr_ckpt} ({t_asr:.0f}s)", flush=True)
+
+    # --- stage 2: dynamic-embedding artifact ------------------------------
+    print("[2/4] gather dyn_emb_ave", flush=True)
+    sh([py, "translate.py", "--eval_mode", "3", "--load", asr_ckpt,
+        "--test_path_src", f"{data}/train.src",
+        "--test_path_tgt", f"{data}/train.tgt",
+        "--test_acous_path", f"{data}/train.flis",
+        "--test_path_out", f"{work}/emb", "--batch_size", "32"],
+       f"{work}/log.emb")
+
+    # --- stage 3: joint ASR_ST -------------------------------------------
+    print("[3/4] joint ASR_ST", flush=True)
+    t_joint = sh([py, "train.py", "--mode", "ASR_ST", "--save",
+                  f"{work}/asr_st", "--num_epochs", str(EPOCHS_JOINT),
+                  "--load", asr_ckpt, "--load_mode", "ASR",
+                  "--loss_nll_asr_coeff", "1.0", "--loss_nll_st_coeff", "1.0",
+                  "--emb_dyn_ave", f"{work}/emb/dyn_emb_ave.npy",
+                  "--st_train_path_src", f"{data}/train.src",
+                  "--st_train_path_tgt", f"{data}/train.tgt",
+                  "--st_train_acous_path", f"{data}/train.flis",
+                  "--st_dev_path_src", f"{data}/dev.src",
+                  "--st_dev_path_tgt", f"{data}/dev.tgt",
+                  "--st_dev_acous_path", f"{data}/dev.flis",
+                  *C], f"{work}/log.joint")
+    joint_ckpt = latest_ckpt(f"{work}/asr_st")
+    print(f"    ckpt={joint_ckpt} ({t_joint:.0f}s)", flush=True)
+
+    # --- stage 4: dev decodes + metrics -----------------------------------
+    print("[4/4] dev decode (ASR greedy + ST beam 5)", flush=True)
+    sh([py, "translate.py", "--eval_mode", "1", "--gen_mode", "ASR",
+        "--load", joint_ckpt,
+        "--test_path_src", f"{data}/dev.src",
+        "--test_path_tgt", f"{data}/dev.tgt",
+        "--test_acous_path", f"{data}/dev.flis",
+        "--test_path_out", f"{work}/dec_asr", "--batch_size", "16",
+        "--max_seq_len", "24"], f"{work}/log.dec_asr")
+    sh([py, "translate.py", "--eval_mode", "1", "--gen_mode", "ST",
+        "--load", joint_ckpt, "--beam_width", "5", "--use_type", "char",
+        "--test_path_src", f"{data}/dev.src",
+        "--test_path_tgt", f"{data}/dev.tgt",
+        "--test_acous_path", f"{data}/dev.flis",
+        "--test_path_out", f"{work}/dec_st", "--batch_size", "16",
+        "--max_seq_len", "24"], f"{work}/log.dec_st")
+
+    from stjep_tpu.utils.metrics import corpus_bleu, corpus_wer
+
+    asr_hyp = [l.split() for l in read_lines(f"{work}/dec_asr/translate.txt")]
+    asr_ref = [l.split() for l in read_lines(f"{data}/dev.src")]
+    st_hyp = [l.split() for l in read_lines(f"{work}/dec_st/translate.txt")]
+    st_ref = [l.split() for l in read_lines(f"{data}/dev.tgt")]
+    n = min(len(asr_hyp), len(asr_ref))
+    wer = corpus_wer(asr_hyp[:n], asr_ref[:n])
+    m = min(len(st_hyp), len(st_ref))
+    bleu = corpus_bleu(st_hyp[:m], [[r] for r in st_ref[:m]])
+
+    import jax
+
+    result = {
+        "corpus": {"train_sents": N_TRAIN, "dev_sents": N_DEV,
+                   "task": "synthetic learnable ST (tests/data_factory.py)"},
+        "config": DIMS,
+        "epochs": {"asr": EPOCHS_ASR, "joint": EPOCHS_JOINT},
+        "asr_dev_wer": round(wer, 4),
+        "st_dev_bleu": round(bleu, 4),
+        "train_wall_s": {"asr": round(t_asr, 1), "joint": round(t_joint, 1)},
+        "backend": jax.default_backend(),
+    }
+    print(json.dumps(result, indent=2))
+    out = os.path.join(ROOT, "benchmarks", "quality_synthetic.json")
+    with open(out, "w") as f:
+        json.dump(result, f, indent=2)
+    print(f"wrote {out}")
+
+
+if __name__ == "__main__":
+    main()

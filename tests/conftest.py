@@ -13,6 +13,13 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 # parity tests against torch need full float32 matmuls
 jax.config.update("jax_default_matmul_precision", "highest")
+# persist CPU compiles: XLA compilation dominates suite wall-time on this
+# 1-CPU host (first run ~15 min, warmed ~4 min)
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(__file__), "..", ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

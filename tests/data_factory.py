@@ -29,9 +29,27 @@ def make_corpus(
     frames_per_word: int = 12,
     n_speakers: int = 3,
     seed: int = 0,
+    learnable: bool = False,
+    noise: float = 0.3,
+    prefix: str = "train",
 ):
-    """Create a tiny ST-style corpus under `root`. Returns a dict of paths."""
+    """Create a tiny ST-style corpus under `root`. Returns a dict of paths.
+
+    learnable=True makes the task solvable: each word has a fixed random
+    acoustic prototype (frames_per_word x acous_dim) and utterances are the
+    concatenated prototypes + N(0, noise) — so ASR/ST quality measured on it
+    reflects real model learning, not chance. The word -> chars mapping is
+    seeded (not Python hash) so src/tgt pairs are reproducible across runs."""
     rng = np.random.RandomState(seed)
+    proto_rng = np.random.RandomState(1234)  # word prototypes: corpus-stable
+    protos = {
+        w: proto_rng.randn(frames_per_word, acous_dim).astype(np.float32)
+        for w in SRC_WORDS
+    }
+    word_map = {
+        w: "".join(TGT_CHARS[(i * 3 + k) % len(TGT_CHARS)] for k in range(2))
+        for i, w in enumerate(SRC_WORDS)
+    }
     os.makedirs(root, exist_ok=True)
     feadir = join(root, "fbk")
     normdir = join(root, "norm")
@@ -57,34 +75,41 @@ def make_corpus(
         nw = rng.randint(min_words, max_words + 1)
         words = [SRC_WORDS[rng.randint(len(SRC_WORDS))] for _ in range(nw)]
         src_lines.append(" ".join(words))
-        # tgt: "translate" each word to 2-3 chars + space
-        chars = []
-        for w in words:
-            chars.append("".join(
-                TGT_CHARS[(hash(w) + k) % len(TGT_CHARS)] for k in range(2)))
+        if learnable:
+            chars = [word_map[w] for w in words]
+        else:
+            # tgt: "translate" each word to 2 chars (per-process mapping)
+            chars = ["".join(
+                TGT_CHARS[(hash(w) + k) % len(TGT_CHARS)] for k in range(2))
+                for w in words]
         tgt_lines.append(" ".join(chars))
 
-        T = nw * frames_per_word + int(rng.randint(0, 7))
-        feat = rng.randn(T, acous_dim).astype(np.float32)
-        fpath = join(feadir, f"utt{i:04d}.npy")
+        if learnable:
+            feat = np.concatenate([protos[w] for w in words], axis=0)
+            feat = feat + noise * rng.randn(*feat.shape).astype(np.float32)
+            T = feat.shape[0]
+        else:
+            T = nw * frames_per_word + int(rng.randint(0, 7))
+            feat = rng.randn(T, acous_dim).astype(np.float32)
+        fpath = join(feadir, f"{prefix}_utt{i:04d}.npy")
         np.save(fpath, feat)
         spk = f"spk{i % n_speakers}"
         flis_lines.append(f"{fpath} {T} {spk}.extra")
 
-    with open(join(root, "train.src"), "w") as f:
+    with open(join(root, f"{prefix}.src"), "w") as f:
         f.write("\n".join(src_lines) + "\n")
-    with open(join(root, "train.tgt"), "w") as f:
+    with open(join(root, f"{prefix}.tgt"), "w") as f:
         f.write("\n".join(tgt_lines) + "\n")
-    with open(join(root, "train.flis"), "w") as f:
+    with open(join(root, f"{prefix}.flis"), "w") as f:
         f.write("\n".join(flis_lines) + "\n")
 
     return {
         "root": root,
-        "path_src": join(root, "train.src"),
-        "path_tgt": join(root, "train.tgt"),
+        "path_src": join(root, f"{prefix}.src"),
+        "path_tgt": join(root, f"{prefix}.tgt"),
         "path_vocab_src": join(root, "vocab.src"),
         "path_vocab_tgt": join(root, "vocab.tgt"),
-        "acous_path": join(root, "train.flis"),
+        "acous_path": join(root, f"{prefix}.flis"),
         "acous_norm_path": normdir,
         "acous_dim": acous_dim,
         "vocab_src_size": len(vocab_src),
