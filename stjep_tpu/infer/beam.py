@@ -100,7 +100,10 @@ def beam_search(
     if use_flash is None:
         import os
 
-        use_flash = (jax.default_backend() != "cpu"
+        from stjep_tpu.ops.decode_flash import flash_supported
+
+        use_flash = ((jax.default_backend() != "cpu"
+                      and flash_supported(cfg.dim_model))
                      or os.environ.get("STJEP_FORCE_FLASH") == "1")
     if use_flash:
         return _beam_search_flash(

@@ -360,6 +360,85 @@ def _greedy_decode(params, cfg: ModelConfig, enc_outputs, mem_mask_b,
     return final.tokens, final.logps
 
 
+class _FlashGreedyState(NamedTuple):
+    i: jnp.ndarray
+    tokens: jnp.ndarray  # [B, Lbuf]
+    picked: jnp.ndarray  # [B, Lbuf] logp at the reference token per slot
+    eos_mask: jnp.ndarray
+    cache: object
+
+
+def _greedy_decode_flash(params, cfg: ModelConfig, enc_outputs, mem_mask_b,
+                         length_out: int, max_time: int, ref_tokens):
+    """_greedy_decode over the fused Pallas decode kernels (group == 1).
+
+    Same buffer semantics (BOS slot 0, PAD fill, all-EOS early exit), but
+    instead of materialising the [B, L, V] logp buffer it returns the
+    log-softmax value at `ref_tokens[:, i]` for each written slot i — the
+    only per-vocab quantity dev evaluation reads (trainer NLL at the
+    reference token); unwritten slots keep the dense path's log(1/V) init
+    (ref: Seq2seq.py:280-304)."""
+    from stjep_tpu.models.tf_decoder import (
+        tf_decoder_init_cache_flash,
+        tf_decoder_step_flash,
+    )
+    from stjep_tpu.ops.decode_flash import (
+        BLOCK,
+        CROSS_BLOCK,
+        decode_head_gather,
+        pad_len,
+    )
+
+    B, Lk, _ = enc_outputs.shape
+    V = cfg.dec_vocab_size
+    Lbuf = pad_len(length_out, BLOCK)
+    Lk_pad = pad_len(Lk, CROSS_BLOCK)
+    if mem_mask_b is None:
+        mem_mask_b = jnp.ones((B, Lk), bool)
+    mem_mask_t = jnp.pad(mem_mask_b, ((0, 0), (0, Lk_pad - Lk))).T
+    refs = jnp.pad(ref_tokens.astype(jnp.int32),
+                   ((0, 0), (0, max(0, Lbuf - ref_tokens.shape[1]))))
+    anc = jnp.zeros((Lbuf, B), jnp.int32)  # greedy: every row is its own group
+
+    cache = tf_decoder_init_cache_flash(
+        params["dec_tgt"], cfg, enc_outputs, length_out, 1)
+    init = _FlashGreedyState(
+        i=jnp.int32(1),
+        tokens=jnp.full((B, Lbuf), PAD, jnp.int32).at[:, 0].set(BOS),
+        picked=jnp.full((B, Lbuf), jnp.log(1.0 / V), jnp.float32),
+        eos_mask=jnp.zeros((B,), bool),
+        cache=cache,
+    )
+
+    def cond(s: _FlashGreedyState):
+        return (s.i < length_out) & (~jnp.all(s.eos_mask))
+
+    def body(s: _FlashGreedyState):
+        pos = s.i - 1
+        tok = jax.lax.dynamic_index_in_dim(s.tokens, pos, axis=1, keepdims=False)
+        emb = _embed_tgt_token(params, cfg, tok)[:, None, :]
+        dec_out, cache = tf_decoder_step_flash(
+            params["dec_tgt"], cfg, emb, s.cache, pos, anc, 1,
+            mem_mask_t, (s.tokens != PAD).T, max_time=max_time,
+            final_norm=False)
+        gid = jax.lax.dynamic_index_in_dim(refs, s.i, axis=1, keepdims=False)
+        _, pred1, ref_lp = decode_head_gather(
+            params["dec_tgt"]["norm"], params["out_tgt"], dec_out[:, 0], 1,
+            gid)
+        pred = pred1[:, 0]
+        tokens = jax.lax.dynamic_update_index_in_dim(s.tokens, pred, s.i,
+                                                     axis=1)
+        picked = jax.lax.dynamic_update_index_in_dim(s.picked, ref_lp, s.i,
+                                                     axis=1)
+        return _FlashGreedyState(
+            i=s.i + 1, tokens=tokens, picked=picked,
+            eos_mask=s.eos_mask | (pred == EOS), cache=cache,
+        )
+
+    final = jax.lax.while_loop(cond, body, init)
+    return final.tokens[:, :length_out], final.picked[:, :length_out]
+
+
 def forward_eval(
     params: Dict,
     cfg: ModelConfig,
@@ -368,12 +447,39 @@ def forward_eval(
     acous_feats: Optional[jnp.ndarray] = None,
     acous_lens: Optional[jnp.ndarray] = None,
     rng: Optional[jax.Array] = None,
+    ref_src: Optional[jnp.ndarray] = None,
+    ref_tgt: Optional[jnp.ndarray] = None,
+    use_flash: Optional[bool] = None,
 ) -> Dict[str, jnp.ndarray]:
-    """Free-running greedy eval (beam_width=1) — ref: Seq2seq.py:512-638."""
+    """Free-running greedy eval (beam_width=1) — ref: Seq2seq.py:512-638.
+
+    ref_src/ref_tgt (optional reference token ids) switch the per-vocab
+    outputs to `picked_*` [B, L-1]: the free-running logp at the reference
+    token, aligned with targets[:, 1:] — exactly what dev NLL reads
+    (ref: trainer_asr.py:_evaluate_batches) without shipping [B, L, V]
+    buffers to the host. With refs given, use_flash (None = auto on TPU,
+    or STJEP_FORCE_FLASH=1) routes the MT/ST greedy loop through the fused
+    Pallas decode kernels."""
     mode = mode.upper()
     out: Dict[str, jnp.ndarray] = {}
     length_out_tgt = cfg.max_seq_len_tgt
     max_time = max(UPPERBOUND_SEQ_LEN, length_out_tgt)
+    if use_flash is None:
+        import os
+
+        from stjep_tpu.ops.decode_flash import flash_supported
+
+        use_flash = ((jax.default_backend() != "cpu"
+                      and flash_supported(cfg.dim_model))
+                     or os.environ.get("STJEP_FORCE_FLASH") == "1")
+
+    def _pick(logps, refs):
+        # logps [B, L', V] aligned with refs[:, 1:] (the host previously did
+        # this take_along after a [B, L', V] device_get)
+        tgt = refs[:, 1:]
+        lp = logps[:, : tgt.shape[1]]
+        return jnp.take_along_axis(
+            lp, tgt.astype(jnp.int32)[:, :, None], axis=2)[:, :, 0]
 
     if "ST" in mode or "ASR" in mode:
         assert acous_feats is not None
@@ -387,8 +493,11 @@ def forward_eval(
         )
         out["emb_asr"] = emb_src
         out["preds_asr"] = preds_src
-        out["logps_asr"] = logps_src
         out["lengths_asr"] = lengths
+        if ref_src is not None:
+            out["picked_asr"] = _pick(logps_src, ref_src)
+        else:
+            out["logps_asr"] = logps_src
 
     if "AE" in mode:
         # AE head eval. The reference's forward_eval asserts src for AE
@@ -422,12 +531,22 @@ def forward_eval(
         )
         _, emb_src, src_mask_input = _get_src_emb(params, cfg, src_trim, emb_dyn)
         enc_out = _encoder_en(params, cfg, emb_src, src_mask=src_mask_input)
-        preds, logps = _greedy_decode(
-            params, cfg, enc_out, src_mask_input[:, 0, :], length_out_tgt, max_time
-        )
         out["emb_mt"] = emb_src
-        out["preds_mt"] = preds
-        out["logps_mt"] = logps
+        if ref_tgt is not None and use_flash:
+            preds, picked = _greedy_decode_flash(
+                params, cfg, enc_out, src_mask_input[:, 0, :], length_out_tgt,
+                max_time, ref_tgt)
+            out["preds_mt"] = preds
+            out["picked_mt"] = picked[:, 1:][:, : ref_tgt.shape[1] - 1]
+        else:
+            preds, logps = _greedy_decode(
+                params, cfg, enc_out, src_mask_input[:, 0, :], length_out_tgt,
+                max_time)
+            out["preds_mt"] = preds
+            if ref_tgt is not None:
+                out["picked_mt"] = _pick(logps[:, 1:], ref_tgt)
+            else:
+                out["logps_mt"] = logps
 
     if "ST" in mode:
         if "ASR" in mode:
@@ -444,11 +563,21 @@ def forward_eval(
         _, emb_src, _ = _get_src_emb(params, cfg, preds_src, emb_src_dyn)
         src_mask_input = _length_src_mask(lengths, emb_src.shape[1])
         enc_out = _encoder_en(params, cfg, emb_src, src_mask=src_mask_input)
-        preds, logps = _greedy_decode(
-            params, cfg, enc_out, src_mask_input[:, 0, :], length_out_tgt, max_time
-        )
         out["emb_st"] = emb_src
-        out["preds_st"] = preds
-        out["logps_st"] = logps
+        if ref_tgt is not None and use_flash:
+            preds, picked = _greedy_decode_flash(
+                params, cfg, enc_out, src_mask_input[:, 0, :], length_out_tgt,
+                max_time, ref_tgt)
+            out["preds_st"] = preds
+            out["picked_st"] = picked[:, 1:][:, : ref_tgt.shape[1] - 1]
+        else:
+            preds, logps = _greedy_decode(
+                params, cfg, enc_out, src_mask_input[:, 0, :], length_out_tgt,
+                max_time)
+            out["preds_st"] = preds
+            if ref_tgt is not None:
+                out["picked_st"] = _pick(logps[:, 1:], ref_tgt)
+            else:
+                out["logps_st"] = logps
 
     return out

@@ -83,6 +83,16 @@ def pad_len(n: int, block: int = BLOCK) -> int:
     return ((n + block - 1) // block) * block
 
 
+def flash_supported(dim_model: int) -> bool:
+    """Whether the fused decode kernels can compile for this model width.
+
+    The HBM cache layout is [group, B, L, D] with D minor; the kernels DMA
+    L-dim slices, which Mosaic requires to be lane-tile aligned — so D must
+    be a multiple of 128 (flagship widths are; tiny test configs fall back
+    to the dense XLA path). Interpret mode (CPU) has no such constraint."""
+    return dim_model % 128 == 0
+
+
 def _ln(x, scale, bias, eps=1e-6):
     mu = jnp.mean(x, axis=-1, keepdims=True)
     var = jnp.mean((x - mu) ** 2, axis=-1, keepdims=True)
@@ -689,8 +699,12 @@ def decoder_layer_step_flash_trio(
 # ---------------------------------------------------------------------------
 
 
-def _head_kernel(x_ref, lns_ref, lnb_ref, w_ref, sc_ref, id_ref,
-                 *, topk: int):
+def _head_kernel(x_ref, lns_ref, lnb_ref, w_ref, *rest,
+                 topk: int, gather: bool):
+    if gather:
+        gid_ref, sc_ref, id_ref, glp_ref = rest
+    else:
+        sc_ref, id_ref = rest
     f32 = jnp.float32
     x = _ln(x_ref[:], lns_ref[:], lnb_ref[:], eps=1e-5)  # torch default eps
     logits = jnp.dot(x, w_ref[:], preferred_element_type=f32)
@@ -712,6 +726,13 @@ def _head_kernel(x_ref, lns_ref, lnb_ref, w_ref, sc_ref, id_ref,
         cur = jnp.where(iota == amk[:, None], -1e30, cur)
     sc_ref[:] = jnp.concatenate(scs, axis=1)
     id_ref[:] = jnp.concatenate(ids, axis=1)
+    if gather:
+        # log-softmax value at a caller-given id per row (one-hot select —
+        # the trainer's dev NLL reads the free-running distribution at the
+        # reference token, ref: trainer_asr.py:_evaluate_batches)
+        gid = gid_ref[:, 0][:, None]  # [BK, 1]
+        glog = jnp.sum(jnp.where(iota == gid, logits, 0.0), axis=-1)
+        glp_ref[:] = (glog - lse)[:, None]
 
 
 def decode_head(
@@ -730,7 +751,7 @@ def decode_head(
     BK, D = x.shape
     vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     sc, ids = pl.pallas_call(
-        functools.partial(_head_kernel, topk=topk),
+        functools.partial(_head_kernel, topk=topk, gather=False),
         in_specs=[vmem() for _ in range(4)],
         out_specs=(vmem(), vmem()),
         out_shape=(
@@ -745,3 +766,41 @@ def decode_head(
         out_params["w"],
     )
     return sc, ids
+
+
+def decode_head_gather(
+    norm_params: Dict,
+    out_params: Dict,
+    x: jnp.ndarray,  # [B*K, D]
+    topk: int,
+    gather_ids: jnp.ndarray,  # [B*K] int32 token ids to read logp at
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """decode_head + the log-softmax value at `gather_ids` per row.
+
+    Serves free-running dev evaluation: the trainer scores the reference
+    token under the model's free-running distribution each step
+    (ref: trainer_asr.py:_evaluate_batches NLL), so the full [BK, V] logp
+    row never has to leave the kernel."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    BK, D = x.shape
+    vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    sc, ids, glp = pl.pallas_call(
+        functools.partial(_head_kernel, topk=topk, gather=True),
+        in_specs=[vmem() for _ in range(5)],
+        out_specs=(vmem(), vmem(), vmem()),
+        out_shape=(
+            jax.ShapeDtypeStruct((BK, topk), jnp.float32),
+            jax.ShapeDtypeStruct((BK, topk), jnp.int32),
+            jax.ShapeDtypeStruct((BK, 1), jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
+        interpret=jax.default_backend() == "cpu",
+    )(
+        x.astype(jnp.float32),
+        norm_params["scale"], norm_params["bias"],
+        out_params["w"],
+        gather_ids.astype(jnp.int32)[:, None],
+    )
+    return sc, ids, glp[:, 0]

@@ -337,18 +337,24 @@ class Trainer:
 
     def _eval_forward(self, cfg: ModelConfig, kind: str):
         if kind not in self._eval_fn_cache:
-            self._eval_fn_cache[kind] = jax.jit(
-                partial(forward_eval, cfg=cfg, mode=kind)
-            )
+            base = partial(forward_eval, cfg=cfg, mode=kind)
+
+            def fwd(params, **kw):
+                out = base(params, **kw)
+                # only preds + per-token picked logps leave the device: the
+                # dense [B, L, V] logp buffers and [B, L, D] embeddings are
+                # a ~30000x larger transfer over the axon tunnel
+                return {k: v for k, v in out.items()
+                        if k.startswith(("preds_", "picked_"))}
+
+            self._eval_fn_cache[kind] = jax.jit(fwd)
         return self._eval_fn_cache[kind]
 
-    def _nll_np(self, logps, targets, mask, coeff=1.0):
-        picked = np.take_along_axis(
-            np.asarray(logps).reshape(-1, logps.shape[-1]),
-            np.asarray(targets).reshape(-1, 1), axis=1,
-        )[:, 0]
+    def _nll_picked_np(self, picked, mask, coeff=1.0):
+        """Masked NLL from per-token reference logps (picked on device)."""
+        p = np.asarray(picked).reshape(-1)
         m = np.asarray(mask).reshape(-1)
-        s = -(picked * m).sum()
+        s = -(p * m).sum()
         if self.normalise_loss:
             s = s / max(m.sum(), 1)
         return coeff * s
@@ -380,16 +386,19 @@ class Trainer:
                     kwargs["acous_lens"] = jnp.asarray(item["acouslen"][st:ed])
                 if mode in ("MT",):
                     kwargs["src"] = jnp.asarray(item["srcid"][st:ed])
+                src_ids = item["srcid"][st:ed]
+                if "ASR" in mode:
+                    kwargs["ref_src"] = jnp.asarray(src_ids)
+                if mode == "MT" or "ST" in mode:
+                    kwargs["ref_tgt"] = jnp.asarray(item["tgtid"][st:ed])
                 out = fwd(params, **kwargs)
                 out = jax.device_get(out)
 
-                src_ids = item["srcid"][st:ed]
                 npm_src = src_ids != PAD
                 if "ASR" in mode:
-                    logps = out["logps_asr"]
                     preds = out["preds_asr"]
-                    resloss_en += self._nll_np(
-                        logps, src_ids[:, 1:], npm_src[:, 1:]
+                    resloss_en += self._nll_picked_np(
+                        out["picked_asr"], npm_src[:, 1:]
                     )
                     m = npm_src[:, 1:]
                     match_en += int(((preds == src_ids[:, 1:]) & m).sum())
@@ -405,11 +414,10 @@ class Trainer:
                     coeff = self.loss_coeff[f"nll_{key}"]
                     tgt_ids = item["tgtid"][st:ed]
                     npm_tgt = tgt_ids != PAD
-                    logps = out[f"logps_{key}"][:, 1:, :]
                     preds = out[f"preds_{key}"][:, 1:]
                     L = tgt_ids.shape[1] - 1
-                    resloss_de += self._nll_np(
-                        logps[:, :L], tgt_ids[:, 1:], npm_tgt[:, 1:], coeff=coeff
+                    resloss_de += self._nll_picked_np(
+                        out[f"picked_{key}"], npm_tgt[:, 1:], coeff=coeff
                     )
                     m = npm_tgt[:, 1:]
                     match_de += int(((preds[:, :L] == tgt_ids[:, 1:]) & m).sum())
