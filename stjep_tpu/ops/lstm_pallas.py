@@ -28,13 +28,36 @@ import jax.numpy as jnp
 from stjep_tpu.ops import lstm as lstm_ref
 
 
+def _unroll_of(T: int) -> int:
+    """Time-steps per grid iteration. The recurrence is serial, so each
+    sub-step's work is a tiny [B, H]x[H, 4H] matmul — per-grid-step fixed
+    costs (DMA turnaround, pipeline flushes) dominate at one step per
+    iteration. Unrolling amortises them; U must divide T (padded inputs
+    keep correctness via the length masks but would cost a full-array
+    copy, so pick the largest divisor instead)."""
+    for u in (8, 4, 2):
+        if T % u == 0:
+            return u
+    return 1
+
+
+def f32_dot(a, b):
+    return jnp.dot(a, b, preferred_element_type=jnp.float32)
+
+
+def bf16_dot(a, b):
+    """One-pass MXU matmul: bf16 operands, f32 accumulation."""
+    return jnp.dot(a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
+                   preferred_element_type=jnp.float32)
+
+
 def _bilstm_kernel(len_ref, xpf_ref, xpb_ref, whf_ref, whb_ref,
-                   outf_ref, outb_ref, hf, cf, hb, cb):
+                   outf_ref, outb_ref, hf, cf, hb, cb, *, unroll, fast):
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
 
     t = pl.program_id(0)
-    T = pl.num_programs(0)
+    Tb = pl.num_programs(0)
     H = hf.shape[-1]
 
     @pl.when(t == 0)
@@ -54,23 +77,31 @@ def _bilstm_kernel(len_ref, xpf_ref, xpb_ref, whf_ref, whb_ref,
 
     lens = len_ref[:]  # [B, 1] int32
 
-    # forward direction: position t
-    pre_f = xpf_ref[0] + jnp.dot(hf[:], whf_ref[:],
-                                 preferred_element_type=jnp.float32)
-    h_new, c_new = step(pre_f, cf[:])
-    valid = lens > t  # [B, 1]
-    hf[:] = jnp.where(valid, h_new, hf[:])
-    cf[:] = jnp.where(valid, c_new, cf[:])
-    outf_ref[0] = jnp.where(valid, h_new, jnp.zeros_like(h_new))
+    # recurrent matmuls run with bf16 operands + f32 accumulation on real
+    # TPUs — one MXU pass instead of the multi-pass f32 emulation, and the
+    # same contraction precision XLA's default gives every other matmul in
+    # the model. Interpret mode (CPU tests) keeps full f32 for exact parity.
+    mm = bf16_dot if fast else f32_dot
+    whf = whf_ref[:].astype(jnp.bfloat16) if fast else whf_ref[:]
+    whb = whb_ref[:].astype(jnp.bfloat16) if fast else whb_ref[:]
 
-    # reverse direction: position T-1-t (index maps mirror the IO)
-    pre_b = xpb_ref[0] + jnp.dot(hb[:], whb_ref[:],
-                                 preferred_element_type=jnp.float32)
-    h_new, c_new = step(pre_b, cb[:])
-    valid_b = lens > (T - 1 - t)
-    hb[:] = jnp.where(valid_b, h_new, hb[:])
-    cb[:] = jnp.where(valid_b, c_new, cb[:])
-    outb_ref[0] = jnp.where(valid_b, h_new, jnp.zeros_like(h_new))
+    for u in range(unroll):
+        # forward direction: position t*U + u
+        pre_f = xpf_ref[u] + mm(hf[:], whf)
+        h_new, c_new = step(pre_f, cf[:])
+        valid = lens > t * unroll + u  # [B, 1]
+        hf[:] = jnp.where(valid, h_new, hf[:])
+        cf[:] = jnp.where(valid, c_new, cf[:])
+        outf_ref[u] = jnp.where(valid, h_new, jnp.zeros_like(h_new))
+
+        # reverse direction: highest position of block Tb-1-t first
+        ub = unroll - 1 - u
+        pre_b = xpb_ref[ub] + mm(hb[:], whb)
+        h_new, c_new = step(pre_b, cb[:])
+        valid_b = lens > (Tb - 1 - t) * unroll + ub
+        hb[:] = jnp.where(valid_b, h_new, hb[:])
+        cb[:] = jnp.where(valid_b, c_new, cb[:])
+        outb_ref[ub] = jnp.where(valid_b, h_new, jnp.zeros_like(h_new))
 
 
 def _bilstm_pallas_fwd_impl(params_fwd, params_bwd, x, lengths):
@@ -94,25 +125,27 @@ def _bilstm_pallas_fwd_impl(params_fwd, params_bwd, x, lengths):
         jax.ShapeDtypeStruct((T, B, H), x.dtype),
         jax.ShapeDtypeStruct((T, B, H), x.dtype),
     )
-    grid = (T,)
+    U = _unroll_of(T)
+    Tb = T // U
+    grid = (Tb,)
     # interpreter mode lets the kernel run (slowly) on CPU for tests
     interpret = jax.default_backend() == "cpu"
     out_f, out_b = pl.pallas_call(
-        _bilstm_kernel,
+        functools.partial(_bilstm_kernel, unroll=U, fast=not interpret),
         grid=grid,
         in_specs=[
             pl.BlockSpec((B, 1), lambda t: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B, 4 * H), lambda t: (t, 0, 0),
+            pl.BlockSpec((U, B, 4 * H), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B, 4 * H), lambda t: (T - 1 - t, 0, 0),
+            pl.BlockSpec((U, B, 4 * H), lambda t: (Tb - 1 - t, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((H, 4 * H), lambda t: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((H, 4 * H), lambda t: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, B, H), lambda t: (t, 0, 0),
+            pl.BlockSpec((U, B, H), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B, H), lambda t: (T - 1 - t, 0, 0),
+            pl.BlockSpec((U, B, H), lambda t: (Tb - 1 - t, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=out_shape,

@@ -30,15 +30,18 @@ import jax.numpy as jnp
 
 def _fwd_save_kernel(len_ref, xpf_ref, xpb_ref, whf_ref, whb_ref,
                      outf_ref, outb_ref, hsf_ref, csf_ref, gf_ref,
-                     hsb_ref, csb_ref, gb_ref, hf, cf, hb, cb):
+                     hsb_ref, csb_ref, gb_ref, hf, cf, hb, cb,
+                     *, unroll, fast):
     """Forward pass that additionally saves carries and gate activations.
 
     hs*_ref[t] = h carry BEFORE step t (i.e. h_{t-1}); cs*_ref[t] = c_{t-1};
-    g*_ref[t] = (i,f,g,o) gate values at step t (zero at invalid steps)."""
+    g*_ref[t] = (i,f,g,o) gate values at step t (zero at invalid steps).
+    Each grid iteration runs `unroll` consecutive time-steps (serial
+    recurrence; the unroll amortises per-grid-step fixed costs)."""
     from jax.experimental import pallas as pl
 
     t = pl.program_id(0)
-    T = pl.num_programs(0)
+    Tb = pl.num_programs(0)
     H = hf.shape[-1]
 
     @pl.when(t == 0)
@@ -49,12 +52,14 @@ def _fwd_save_kernel(len_ref, xpf_ref, xpb_ref, whf_ref, whb_ref,
         cb[:] = jnp.zeros_like(cb)
 
     lens = len_ref[:]
+    from stjep_tpu.ops.lstm_pallas import bf16_dot, f32_dot
 
-    def one(xp_ref, wh_ref, out_ref, hs_ref, cs_ref, g_ref, h, c, pos):
-        hs_ref[0] = h[:]
-        cs_ref[0] = c[:]
-        pre = xp_ref[0] + jnp.dot(h[:], wh_ref[:],
-                                  preferred_element_type=jnp.float32)
+    mm = bf16_dot if fast else f32_dot
+
+    def one(xp_ref, wh_ref, out_ref, hs_ref, cs_ref, g_ref, h, c, row, pos):
+        hs_ref[row] = h[:]
+        cs_ref[row] = c[:]
+        pre = xp_ref[row] + mm(h[:], wh_ref[:])
         i = jax.nn.sigmoid(pre[:, 0 * H:1 * H])
         f = jax.nn.sigmoid(pre[:, 1 * H:2 * H])
         g = jnp.tanh(pre[:, 2 * H:3 * H])
@@ -62,27 +67,32 @@ def _fwd_save_kernel(len_ref, xpf_ref, xpb_ref, whf_ref, whb_ref,
         c_new = f * c[:] + i * g
         h_new = o * jnp.tanh(c_new)
         valid = lens > pos
-        g_ref[0] = jnp.where(
+        g_ref[row] = jnp.where(
             valid, jnp.concatenate([i, f, g, o], axis=-1),
             jnp.zeros_like(pre))
         h[:] = jnp.where(valid, h_new, h[:])
         c[:] = jnp.where(valid, c_new, c[:])
-        out_ref[0] = jnp.where(valid, h_new, jnp.zeros_like(h_new))
+        out_ref[row] = jnp.where(valid, h_new, jnp.zeros_like(h_new))
 
-    one(xpf_ref, whf_ref, outf_ref, hsf_ref, csf_ref, gf_ref, hf, cf, t)
-    one(xpb_ref, whb_ref, outb_ref, hsb_ref, csb_ref, gb_ref, hb, cb, T - 1 - t)
+    for u in range(unroll):
+        one(xpf_ref, whf_ref, outf_ref, hsf_ref, csf_ref, gf_ref, hf, cf,
+            u, t * unroll + u)
+        ub = unroll - 1 - u
+        one(xpb_ref, whb_ref, outb_ref, hsb_ref, csb_ref, gb_ref, hb, cb,
+            ub, (Tb - 1 - t) * unroll + ub)
 
 
 def _bwd_kernel(len_ref, gof_ref, gob_ref, hsf_ref, csf_ref, gf_ref,
                 hsb_ref, csb_ref, gb_ref, whf_ref, whb_ref,
                 dxpf_ref, dxpb_ref, dwhf_ref, dwhb_ref,
-                dhf, dcf, dhb, dcb, awhf, awhb):
-    """Reverse-time pass; grid step t processes position T-1-t for the
-    forward direction and position t for the backward direction."""
+                dhf, dcf, dhb, dcb, awhf, awhb, *, unroll, fast):
+    """Reverse-time pass; grid step t processes position block Tb-1-t
+    (descending within the block) for the forward direction and block t
+    (ascending) for the backward direction."""
     from jax.experimental import pallas as pl
 
     t = pl.program_id(0)
-    T = pl.num_programs(0)
+    Tb = pl.num_programs(0)
     H = dhf.shape[-1]
 
     @pl.when(t == 0)
@@ -96,19 +106,20 @@ def _bwd_kernel(len_ref, gof_ref, gob_ref, hsf_ref, csf_ref, gf_ref,
 
     lens = len_ref[:]
 
-    def one(go_ref, hs_ref, cs_ref, g_ref, wh_ref, dxp_ref, awh, dh, dc, pos):
-        gates = g_ref[0]
+    def one(go_ref, hs_ref, cs_ref, g_ref, wh_ref, dxp_ref, awh, dh, dc,
+            row, pos):
+        gates = g_ref[row]
         i = gates[:, 0 * H:1 * H]
         f = gates[:, 1 * H:2 * H]
         g = gates[:, 2 * H:3 * H]
         o = gates[:, 3 * H:4 * H]
-        h_prev = hs_ref[0]
-        c_prev = cs_ref[0]
+        h_prev = hs_ref[row]
+        c_prev = cs_ref[row]
         c_t = f * c_prev + i * g
         tanh_c = jnp.tanh(c_t)
         valid = lens > pos
 
-        dh_t = go_ref[0] + dh[:]
+        dh_t = go_ref[row] + dh[:]
         do = dh_t * tanh_c
         dc_t = dc[:] + dh_t * o * (1.0 - tanh_c * tanh_c)
         di = dc_t * g
@@ -121,23 +132,32 @@ def _bwd_kernel(len_ref, gof_ref, gob_ref, hsf_ref, csf_ref, gf_ref,
             do * o * (1.0 - o),
         ], axis=-1)
         dpre = jnp.where(valid, dpre, jnp.zeros_like(dpre))
-        dxp_ref[0] = dpre
+        dxp_ref[row] = dpre
+        if fast:  # bf16 operands, f32 accumulation (see lstm_pallas.bf16_dot)
+            h_prev = h_prev.astype(jnp.bfloat16)
+            dpre_mm = dpre.astype(jnp.bfloat16)
+            wh = wh_ref[:].astype(jnp.bfloat16)
+        else:
+            dpre_mm, wh = dpre, wh_ref[:]
         awh[:] += jax.lax.dot_general(
-            h_prev, dpre, (((0,), (0,)), ((), ())),
+            h_prev, dpre_mm, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         dh_back = jax.lax.dot_general(
-            dpre, wh_ref[:], (((1,), (1,)), ((), ())),
+            dpre_mm, wh, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         dh[:] = jnp.where(valid, dh_back, dh[:])
         dc[:] = jnp.where(valid, dc_t * f, dc[:])
 
-    one(gof_ref, hsf_ref, csf_ref, gf_ref, whf_ref, dxpf_ref, awhf, dhf, dcf,
-        T - 1 - t)
-    one(gob_ref, hsb_ref, csb_ref, gb_ref, whb_ref, dxpb_ref, awhb, dhb, dcb, t)
+    for u in range(unroll):
+        ub = unroll - 1 - u
+        one(gof_ref, hsf_ref, csf_ref, gf_ref, whf_ref, dxpf_ref, awhf,
+            dhf, dcf, ub, (Tb - 1 - t) * unroll + ub)
+        one(gob_ref, hsb_ref, csb_ref, gb_ref, whb_ref, dxpb_ref, awhb,
+            dhb, dcb, u, t * unroll + u)
 
-    @pl.when(t == T - 1)
+    @pl.when(t == Tb - 1)
     def _flush():
         dwhf_ref[:] = awhf[:]
         dwhb_ref[:] = awhb[:]
@@ -162,13 +182,18 @@ def _run_fwd_save(params_fwd, params_bwd, x, lengths):
     len2d = lengths.astype(jnp.int32).reshape(B, 1)
 
     f32 = jnp.float32
-    step_spec = lambda w: pl.BlockSpec((1, B, w), lambda t: (t, 0, 0),
+    from stjep_tpu.ops.lstm_pallas import _unroll_of
+
+    U = _unroll_of(T)
+    Tb = T // U
+    step_spec = lambda w: pl.BlockSpec((U, B, w), lambda t: (t, 0, 0),
                                        memory_space=pltpu.VMEM)
-    rstep_spec = lambda w: pl.BlockSpec((1, B, w), lambda t: (T - 1 - t, 0, 0),
+    rstep_spec = lambda w: pl.BlockSpec((U, B, w), lambda t: (Tb - 1 - t, 0, 0),
                                         memory_space=pltpu.VMEM)
     outs = pl.pallas_call(
-        _fwd_save_kernel,
-        grid=(T,),
+        functools.partial(_fwd_save_kernel, unroll=U,
+                          fast=not _interpret()),
+        grid=(Tb,),
         in_specs=[
             pl.BlockSpec((B, 1), lambda t: (0, 0), memory_space=pltpu.VMEM),
             step_spec(4 * H), rstep_spec(4 * H),
@@ -225,15 +250,19 @@ def _tr_bwd(res, g_out):
     go_f = jnp.swapaxes(g_out[..., :H], 0, 1)   # [T, B, H]
     go_b = jnp.swapaxes(g_out[..., H:], 0, 1)
 
-    # the bwd grid step t handles fwd position T-1-t and bwd position t
-    fpos = lambda w: pl.BlockSpec((1, B, w), lambda t: (T - 1 - t, 0, 0),
+    # the bwd grid step t handles fwd position block Tb-1-t and bwd block t
+    from stjep_tpu.ops.lstm_pallas import _unroll_of
+
+    U = _unroll_of(T)
+    Tb = T // U
+    fpos = lambda w: pl.BlockSpec((U, B, w), lambda t: (Tb - 1 - t, 0, 0),
                                   memory_space=pltpu.VMEM)
-    bpos = lambda w: pl.BlockSpec((1, B, w), lambda t: (t, 0, 0),
+    bpos = lambda w: pl.BlockSpec((U, B, w), lambda t: (t, 0, 0),
                                   memory_space=pltpu.VMEM)
     wspec = pl.BlockSpec((H, 4 * H), lambda t: (0, 0), memory_space=pltpu.VMEM)
     (dxp_f, dxp_b, dwh_f, dwh_b) = pl.pallas_call(
-        _bwd_kernel,
-        grid=(T,),
+        functools.partial(_bwd_kernel, unroll=U, fast=not _interpret()),
+        grid=(Tb,),
         in_specs=[
             pl.BlockSpec((B, 1), lambda t: (0, 0), memory_space=pltpu.VMEM),
             fpos(H), bpos(H),
