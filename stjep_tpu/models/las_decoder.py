@@ -81,20 +81,46 @@ class DecodeState(NamedTuple):
     symbol: jnp.ndarray  # [B] last emitted symbol (greedy)
     lengths: jnp.ndarray  # [B] int32
     ctx: jnp.ndarray  # [B, 3] last-3 emitted symbols (n-gram LM context)
-    rng: jax.Array
 
 
-def _dec_lstm_stack(params, cfg, x, h, c, rng, training):
+def _make_drop_masks(rng, cfg: ModelConfig, n_steps: int, B: int, Ha2: int):
+    """Hoisted inverted-dropout masks for every step of the decode scan.
+
+    The masks never depend on the scan carry (dropout positions are data-
+    independent), so generating them as two big vectorised draws outside
+    the scan removes 4 serial rng-splits + tiny bernoulli kernels from
+    every step of the recurrence's critical path. Returns
+    (lstm_masks [L-1, n, B, Hd], ctx_masks [L-1, B, 1, Ha2])."""
+    n = cfg.num_unilstm_dec
+    keep = 1.0 - cfg.dropout
+    k1, k2 = jax.random.split(rng)
+    lstm_m = jax.random.bernoulli(
+        k1, keep, (n_steps, n, B, cfg.dim_model)).astype(jnp.float32) / keep
+    ctx_m = jax.random.bernoulli(
+        k2, keep, (n_steps, B, 1, Ha2)).astype(jnp.float32) / keep
+    return lstm_m, ctx_m
+
+
+def _dec_lstm_stack(params, cfg, x, h, c, masks, pre0=None):
     """3-layer residual LSTM stack, one step (ref: Dec.py:384-424).
 
-    x: [B, E+Hs]. Returns (out [B, Hd], h', c')."""
+    x: [B, E+Hs] (or just the cell_value half when pre0 — the hoisted
+    embedding-side layer-0 pre-activation — is given). masks: [n, B, Hd]
+    inverted-dropout masks or None. Returns (out [B, Hd], h', c')."""
     n = cfg.num_unilstm_dec
     hs, cs = [], []
-    h0, c0 = lstm_cell_step(params["dec_l0"], x, h[0], c[0])
+    if pre0 is not None:
+        E = params["embedder"].shape[1]
+        p0 = params["dec_l0"]
+        pre = pre0 + x @ p0["w_ih"][E:] + h[0] @ p0["w_hh"]
+        from stjep_tpu.ops.lstm import _gates
+
+        h0, c0 = _gates(pre, c[0], h.shape[-1])
+    else:
+        h0, c0 = lstm_cell_step(params["dec_l0"], x, h[0], c[0])
     hs.append(h0)
     cs.append(c0)
-    rng, k = jax.random.split(rng)
-    out = dropout(k, h0, cfg.dropout, deterministic=not training)
+    out = h0 if masks is None else h0 * masks[0]
     for i in range(1, n):
         inp = out
         hi, ci = lstm_cell_step(params[f"dec_l{i}"], inp, h[i], c[i])
@@ -103,8 +129,7 @@ def _dec_lstm_stack(params, cfg, x, h, c, rng, training):
         y = hi
         if i < n - 1:  # residual on middle layers only (ref: Dec.py:417-418)
             y = y + inp
-        rng, k = jax.random.split(rng)
-        out = dropout(k, y, cfg.dropout, deterministic=not training)
+        out = y if masks is None else y * masks[i]
     return out, jnp.stack(hs), jnp.stack(cs)
 
 
@@ -114,9 +139,10 @@ def las_decoder_step_core(
     pre_keys: Dict,
     att_values: jnp.ndarray,  # [B, Tk, 2Ha]
     att_mask: Optional[jnp.ndarray],  # [B, Tk] True = masked (trailing pad)
-    emb_token: jnp.ndarray,  # [B, E]
+    emb_token: jnp.ndarray,  # [B, E] (or [B, 4Hd] pre-activation, see below)
     state: DecodeState,
-    training: bool,
+    masks=None,  # (lstm [n,B,Hd], ctx [B,1,2Ha]) inverted-dropout or None
+    emb_is_pre0: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, DecodeState]:
     """Recurrent part of one decode step (ref: Dec.py:344-434 forward_step,
     up to the dynamic embedding). Returns (cell_value [B,Hs], attn [B,Tk],
@@ -124,26 +150,34 @@ def las_decoder_step_core(
     caller: per step when the symbol feeds back (free running / LM fusion),
     batched over all steps after the scan when teacher-forced — the
     [B,Hs]x[Hs,V] projection is the FLOPs bulk of the step and batching it
-    turns L-1 launch-bound matmuls into one MXU call."""
-    rng = state.rng
-    x = jnp.concatenate([emb_token, state.cell_value], axis=-1)
-    rng, k = jax.random.split(rng)
-    dec_out, h, c = _dec_lstm_stack(params, cfg, x, state.h, state.c, k, training)
+    turns L-1 launch-bound matmuls into one MXU call.
+
+    emb_is_pre0: emb_token is the hoisted layer-0 pre-activation
+    emb @ w_ih[:E] + biases (teacher-forced path: the embedding side never
+    depends on the carry, so its matmul batches over all steps outside)."""
+    lstm_masks, ctx_mask = masks if masks is not None else (None, None)
+    if emb_is_pre0:
+        dec_out, h, c = _dec_lstm_stack(
+            params, cfg, state.cell_value, state.h, state.c, lstm_masks,
+            pre0=emb_token)
+    else:
+        x = jnp.concatenate([emb_token, state.cell_value], axis=-1)
+        dec_out, h, c = _dec_lstm_stack(
+            params, cfg, x, state.h, state.c, lstm_masks)
 
     query = dec_out[:, None, :]  # [B, 1, Hd]
     ctx, attn, c_out = attend(
         params["acous_att"], pre_keys, query, att_values, cfg.acous_att_mode,
         mask=att_mask, prev_c=state.prev_c,
     )
-    rng, k = jax.random.split(rng)
-    att_out = dropout(k, ctx, cfg.dropout, deterministic=not training)
+    att_out = ctx if ctx_mask is None else ctx * ctx_mask
 
     ff_in = jnp.concatenate([att_out, query], axis=-1)  # [B, 1, 2Ha+Hd]
     cell_value = linear(params["acous_ffn"], ff_in)  # [B, 1, Hs]
 
     new_prev_c = c_out if c_out is not None else state.prev_c
     new_state = state._replace(
-        h=h, c=c, cell_value=cell_value[:, 0], prev_c=new_prev_c, rng=rng
+        h=h, c=c, cell_value=cell_value[:, 0], prev_c=new_prev_c
     )
     return cell_value[:, 0], attn[:, 0], new_state
 
@@ -156,13 +190,14 @@ def las_decoder_step(
     att_mask: Optional[jnp.ndarray],
     emb_token: jnp.ndarray,
     state: DecodeState,
-    training: bool,
+    masks=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, DecodeState]:
     """One full decode step (ref: Dec.py:344-438 forward_step).
 
     Returns (cell_value [B,Hs], logp [B,V], attn [B,Tk], new_state)."""
     cell_value, attn, new_state = las_decoder_step_core(
-        params, cfg, pre_keys, att_values, att_mask, emb_token, state, training
+        params, cfg, pre_keys, att_values, att_mask, emb_token, state,
+        masks=masks
     )
     logits = linear(params["acous_out"], cell_value)  # [B, V]
     logp = jax.nn.log_softmax(logits, axis=-1)
@@ -242,7 +277,6 @@ def las_decoder_forward(
 
     Hd = cfg.dim_model
     Hs = cfg.dim_model
-    rng, k0 = jax.random.split(rng)
     init = DecodeState(
         h=jnp.zeros((cfg.num_unilstm_dec, B, Hd), acous_outputs.dtype),
         c=jnp.zeros((cfg.num_unilstm_dec, B, Hd), acous_outputs.dtype),
@@ -251,11 +285,22 @@ def las_decoder_forward(
         symbol=tgt[:, 0],  # BOS
         lengths=jnp.full((B,), L, dtype=jnp.int32),
         ctx=jnp.zeros((B, 3), dtype=jnp.int32),
-        rng=k0,
     )
 
     emb_steps = jnp.swapaxes(emb_tgt[:, : L - 1], 0, 1)  # [L-1, B, E]
     steps = jnp.arange(L - 1)
+
+    # dropout masks for every step, hoisted (see _make_drop_masks)
+    use_drop = is_training and cfg.dropout > 0.0
+    if use_drop:
+        rng, k = jax.random.split(rng)
+        step_masks = _make_drop_masks(k, cfg, L - 1, B,
+                                      acous_outputs.shape[-1])
+    else:
+        step_masks = None
+
+    def masks_at(xs_masks):
+        return xs_masks if use_drop else None
 
     if tf_coin is None and use_teacher_forcing and lm_fuse is None:
         # Static teacher forcing: no symbol feedback, so the output head
@@ -263,16 +308,23 @@ def las_decoder_forward(
         # [B*(L-1), Hs] x [Hs, V] MXU matmul instead of L-1 launch-bound
         # per-step projections. This is the training hot path
         # (SURVEY §3.1 HOTTEST); per-row math is unchanged, so outputs match
-        # the stepped head.
+        # the stepped head. The embedding-side layer-0 pre-activation is
+        # hoisted too: one [B*(L-1), E] x [E, 4Hd] matmul.
+        p0 = params["dec_l0"]
+        E = params["embedder"].shape[1]
+        pre0_steps = (emb_steps @ p0["w_ih"][:E]
+                      + p0["b_ih"] + p0["b_hh"])  # [L-1, B, 4Hd]
+
         def body_tf(state, xs):
-            _step, emb_tf = xs
+            pre0_t, m = (xs[0], masks_at(xs[1:])) if use_drop else (xs[0], None)
             cell_value, _attn, state = las_decoder_step_core(
-                params, cfg, pre_keys, acous_outputs, att_mask, emb_tf,
-                state, training=is_training,
+                params, cfg, pre_keys, acous_outputs, att_mask, pre0_t,
+                state, masks=m, emb_is_pre0=True,
             )
             return state, cell_value
 
-        _final, embs = jax.lax.scan(body_tf, init, (steps, emb_steps))
+        xs = (pre0_steps,) + (step_masks if use_drop else ())
+        _final, embs = jax.lax.scan(body_tf, init, xs)
         embs_bt = jnp.swapaxes(embs, 0, 1)  # [B, L-1, Hs]
         logits = linear(params["acous_out"], embs_bt)
         logps_bt = jax.nn.log_softmax(logits, axis=-1)
@@ -286,7 +338,8 @@ def las_decoder_forward(
         return embs_bt, logps_bt, symbols_bt, lengths
 
     def body(state, xs):
-        step, emb_tf = xs
+        step, emb_tf = xs[0], xs[1]
+        m = masks_at(xs[2:])
         if tf_coin is not None:
             # per-batch coin (ref: Dec.py:196): teacher-forced input (with
             # embedding_dropout already applied) vs raw embed of the previous
@@ -300,7 +353,7 @@ def las_decoder_forward(
             emb_in = embed(params["embedder"], state.symbol)
         cell_value, logp, attn, state = las_decoder_step(
             params, cfg, pre_keys, acous_outputs, att_mask, emb_in, state,
-            training=is_training,
+            masks=m,
         )
         if lm_fuse is not None and getattr(lm_fuse, "on_device", False):
             # hashed n-gram probe table in HBM (infer/lm_table.py): pure
@@ -322,7 +375,8 @@ def las_decoder_forward(
         state = state._replace(symbol=symbols, lengths=lengths, ctx=ctx)
         return state, (cell_value, logp, symbols)
 
-    final, (embs, logps, symbols) = jax.lax.scan(body, init, (steps, emb_steps))
+    xs = (steps, emb_steps) + (step_masks if use_drop else ())
+    final, (embs, logps, symbols) = jax.lax.scan(body, init, xs)
     return (
         jnp.swapaxes(embs, 0, 1),  # [B, L-1, Hs]
         jnp.swapaxes(logps, 0, 1),  # [B, L-1, V]
