@@ -53,7 +53,8 @@ def _encode_for_mode(params, cfg: ModelConfig, mode: str, src, acous_feats,
             emb_dyn, _, preds_src, lengths = _encoder_acous(
                 params, cfg, acous_feats, acous_lens, tgt=None,
                 is_training=False, teacher_forcing=False, rng=rng,
-                max_seq_len=cfg.max_seq_len_src,
+                max_seq_len=cfg.max_seq_len_src, want_logps=False,
+                flash_ok=True,
             )
             static_ids = preds_src  # hypotheses (ref: Seq2seq.py:703)
         _, emb_src, _ = _get_src_emb(params, cfg, static_ids, emb_dyn)
@@ -65,7 +66,7 @@ def _encode_for_mode(params, cfg: ModelConfig, mode: str, src, acous_feats,
         _, _, preds_src, lengths = _encoder_acous(
             params, cfg, acous_feats, acous_lens, tgt=None,
             is_training=False, teacher_forcing=False, rng=rng,
-            max_seq_len=cfg.max_seq_len_src,
+            max_seq_len=cfg.max_seq_len_src, want_logps=False, flash_ok=True,
         )
         B, Lp = preds_src.shape
         emb_dyn = jnp.broadcast_to(
@@ -109,6 +110,7 @@ def forward_translate(
                 params, cfg, acous_feats, acous_lens, tgt=None,
                 is_training=False, teacher_forcing=False, rng=rng,
                 max_seq_len=cfg.max_seq_len_src, lm_fuse=lm_fuse,
+                want_logps=False, flash_ok=True,
             )
         return preds_src
 

@@ -37,8 +37,16 @@ def las_forward(
     rng: Optional[jax.Array] = None,
     is_training: bool = False,
     lm_fuse=None,
+    ref_tokens: Optional[jnp.ndarray] = None,
+    want_logps: bool = True,
+    flash_ok: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """(sequence_embs, logps, symbols, lengths) — ref: models/Las.py:91-123.
+
+    ref_tokens / want_logps: see las_decoder_forward — with ref_tokens the
+    logps slot holds the per-token picked logps [B, L-1]; with
+    want_logps=False (and no refs) it is None, which also unlocks the fused
+    free-running decode kernel on TPU.
 
     Teacher forcing follows the reference's per-batch coin flip
     `random.random() < ratio` (ref: Dec.py:196): pass
@@ -64,4 +72,5 @@ def las_forward(
         use_teacher_forcing=use_teacher_forcing,
         teacher_forcing_ratio=teacher_forcing_ratio, max_seq_len=max_seq_len,
         rng=rng_dec, is_training=is_training, lm_fuse=lm_fuse,
+        ref_tokens=ref_tokens, want_logps=want_logps, flash_ok=flash_ok,
     )

@@ -225,11 +225,23 @@ def las_decoder_forward(
     rng: Optional[jax.Array] = None,
     is_training: bool = False,
     lm_fuse=None,
+    ref_tokens: Optional[jnp.ndarray] = None,
+    want_logps: bool = True,
+    flash_ok: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Full decode over max_seq_len - 1 steps (ref: Dec.py:130-233).
 
     Returns (sequence_embs [B, L-1, Hs], logps [B, L-1, V],
              symbols [B, L-1], lengths [B]).
+
+    ref_tokens [B, >=L-1]: when given, the logps slot of the return holds
+    the PICKED logps [B, L-1] instead — the log-softmax value at
+    ref_tokens[:, step] per step (token slot conventions match
+    take_along_axis over the full buffer; dev NLL reads exactly this).
+    want_logps=False drops the [B, L-1, V] buffer from the scan outputs
+    entirely (eval paths that only need embs/preds/lengths), and — for
+    free-running eval with bilinear attention on TPU — routes the whole
+    loop through the fused Pallas decode kernel (ops/las_flash.py).
 
     teacher_forcing_ratio, when given, reproduces the reference's per-batch
     coin flip `random.random() < ratio` (ref: Dec.py:196): ratio >= 1.0 is
@@ -268,6 +280,43 @@ def las_decoder_forward(
         att_mask = None
 
     pre_keys = precompute_keys(params["acous_att"], acous_outputs, cfg.acous_att_mode)
+
+    # fused free-running decode kernel (ops/las_flash.py): eval-only (no
+    # gradients), bilinear attention, no LM fusion, and the caller must not
+    # need the full [B, L-1, V] logp buffer (picked logps are fine)
+    free_running = tf_coin is None and not use_teacher_forcing
+    # flash_ok is an explicit caller opt-in: the kernel has no VJP, so only
+    # pure-eval paths (no gradient through the outputs) may enable it
+    if (flash_ok and free_running and not is_training and lm_fuse is None
+            and not want_logps):
+        import os
+
+        from stjep_tpu.ops.las_flash import las_flash_supported
+
+        if las_flash_supported(cfg) and (
+            jax.default_backend() != "cpu"
+            or os.environ.get("STJEP_FORCE_FLASH") == "1"
+        ):
+            from stjep_tpu.ops.las_flash import las_greedy_flash
+
+            lens_k = (lens8 if acous_lens is not None
+                      else jnp.full((B,), Tk, jnp.int32))
+            refs = None
+            if ref_tokens is not None:
+                # picked[:, j] = logps[:, j, ref_tokens[:, j]] — ref_tokens
+                # shares the output-slot alignment of the logps buffer
+                r = ref_tokens[:, : L - 1]
+                refs = jnp.pad(r, ((0, 0), (0, L - 1 - r.shape[1])))
+            embs, preds, picked = las_greedy_flash(
+                params, cfg, pre_keys["wk"], acous_outputs, lens_k,
+                tgt[:, 0], L - 1, ref_tokens=refs,
+            )
+            eos_bt = (preds == EOS) | (preds == PAD)
+            any_eos = jnp.any(eos_bt, axis=1)
+            first = jnp.argmax(eos_bt, axis=1).astype(jnp.int32)
+            lengths = jnp.where(any_eos, first + 1, jnp.int32(L))
+            return embs, (picked if ref_tokens is not None else None), \
+                preds, lengths
 
     # teacher-forced inputs get embedding_dropout (ref: Dec.py:166)
     emb_tgt = embed(params["embedder"], tgt)
@@ -335,7 +384,12 @@ def las_decoder_forward(
         any_eos = jnp.any(eos_bt, axis=1)
         first = jnp.argmax(eos_bt, axis=1).astype(jnp.int32)
         lengths = jnp.where(any_eos, first + 1, jnp.int32(L))
-        return embs_bt, logps_bt, symbols_bt, lengths
+        if ref_tokens is not None:
+            picked = jnp.take_along_axis(
+                logps_bt, ref_tokens[:, : L - 1].astype(jnp.int32)[:, :, None],
+                axis=2)[:, :, 0]
+            return embs_bt, picked, symbols_bt, lengths
+        return embs_bt, logps_bt if want_logps else None, symbols_bt, lengths
 
     def body(state, xs):
         step, emb_tf = xs[0], xs[1]
@@ -373,13 +427,30 @@ def las_decoder_forward(
         ctx = jnp.concatenate(
             [state.ctx[:, 1:], symbols[:, None].astype(jnp.int32)], axis=1)
         state = state._replace(symbol=symbols, lengths=lengths, ctx=ctx)
-        return state, (cell_value, logp, symbols)
+        ys = {"embs": cell_value, "symbols": symbols}
+        if ref_tokens is not None:
+            gid = jax.lax.dynamic_index_in_dim(refs_steps, step, keepdims=False)
+            ys["picked"] = jnp.take_along_axis(
+                logp, gid[:, None], axis=1)[:, 0]
+        elif want_logps:
+            ys["logps"] = logp
+        return state, ys
 
+    refs_steps = None
+    if ref_tokens is not None:
+        r = ref_tokens[:, : L - 1].astype(jnp.int32)
+        refs_steps = jnp.pad(r, ((0, 0), (0, L - 1 - r.shape[1]))).T  # [L-1,B]
     xs = (steps, emb_steps) + (step_masks if use_drop else ())
-    final, (embs, logps, symbols) = jax.lax.scan(body, init, xs)
+    final, ys = jax.lax.scan(body, init, xs)
+    if ref_tokens is not None:
+        logps_out = jnp.swapaxes(ys["picked"], 0, 1)  # [B, L-1] picked
+    elif want_logps:
+        logps_out = jnp.swapaxes(ys["logps"], 0, 1)  # [B, L-1, V]
+    else:
+        logps_out = None
     return (
-        jnp.swapaxes(embs, 0, 1),  # [B, L-1, Hs]
-        jnp.swapaxes(logps, 0, 1),  # [B, L-1, V]
-        jnp.swapaxes(symbols, 0, 1),  # [B, L-1]
+        jnp.swapaxes(ys["embs"], 0, 1),  # [B, L-1, Hs]
+        logps_out,
+        jnp.swapaxes(ys["symbols"], 0, 1),  # [B, L-1]
         final.lengths,
     )

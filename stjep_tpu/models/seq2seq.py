@@ -134,15 +134,19 @@ def _pre_proc_src(src):
 def _encoder_acous(params, cfg: ModelConfig, acous_feats, acous_lens,
                    tgt=None, is_training=False, teacher_forcing=False,
                    teacher_forcing_ratio=None, rng=None, max_seq_len=None,
-                   lm_fuse=None):
+                   lm_fuse=None, ref_tokens=None, want_logps=True,
+                   flash_ok=False):
     """LAS pass -> (dynamic embs, logps, preds, lengths)
     (ref: Seq2seq.py:222-230). teacher_forcing_ratio, when given, overrides
-    the static bool with the reference's per-batch coin (ref: Dec.py:196)."""
+    the static bool with the reference's per-batch coin (ref: Dec.py:196).
+    ref_tokens/want_logps: see las_decoder_forward (picked logps in the
+    logps slot / pruned logps + fused free-running kernel on TPU)."""
     return las_forward(
         params["las"], cfg, acous_feats, acous_lens=acous_lens, tgt=tgt,
         use_teacher_forcing=teacher_forcing,
         teacher_forcing_ratio=teacher_forcing_ratio, max_seq_len=max_seq_len,
         rng=rng, is_training=is_training, lm_fuse=lm_fuse,
+        ref_tokens=ref_tokens, want_logps=want_logps, flash_ok=flash_ok,
     )
 
 
@@ -487,17 +491,21 @@ def forward_eval(
         assert src is not None
 
     if "ASR" in mode:
-        emb_src, logps_src, preds_src, lengths = _encoder_acous(
+        # with refs, the LAS pass returns picked logps directly (and on TPU
+        # runs through the fused free-running decode kernel)
+        emb_src, lp_or_picked, preds_src, lengths = _encoder_acous(
             params, cfg, acous_feats, acous_lens, tgt=None, is_training=False,
             teacher_forcing=False, rng=rng, max_seq_len=cfg.max_seq_len_src,
+            ref_tokens=ref_src[:, 1:] if ref_src is not None else None,
+            want_logps=ref_src is None, flash_ok=True,
         )
         out["emb_asr"] = emb_src
         out["preds_asr"] = preds_src
         out["lengths_asr"] = lengths
         if ref_src is not None:
-            out["picked_asr"] = _pick(logps_src, ref_src)
+            out["picked_asr"] = lp_or_picked
         else:
-            out["logps_asr"] = logps_src
+            out["logps_asr"] = lp_or_picked
 
     if "AE" in mode:
         # AE head eval. The reference's forward_eval asserts src for AE
@@ -557,7 +565,8 @@ def forward_eval(
             emb_src_dyn, _, preds_src, lengths = _encoder_acous(
                 params, cfg, acous_feats, acous_lens, tgt=None,
                 is_training=False, teacher_forcing=False, rng=rng,
-                max_seq_len=cfg.max_seq_len_src,
+                max_seq_len=cfg.max_seq_len_src, want_logps=False,
+                flash_ok=True,
             )
         # static embeddings looked up from ASR *hypotheses* (ref: Seq2seq.py:608)
         _, emb_src, _ = _get_src_emb(params, cfg, preds_src, emb_src_dyn)

@@ -100,3 +100,36 @@ def test_flash_greedy_eval_matches_dense():
                                    rtol=0, atol=2e-5)
     finally:
         os.environ.pop("STJEP_FORCE_FLASH", None)
+
+
+@pytest.mark.slow
+def test_las_greedy_flash_matches_dense():
+    """Fused free-running LAS decode kernel (interpret mode): identical
+    greedy tokens/lengths, matching embs and picked logps vs the XLA scan."""
+    from stjep_tpu.models.las_decoder import las_decoder_forward, las_decoder_init
+
+    os.environ["STJEP_FORCE_FLASH"] = "1"
+    try:
+        cfg = _mk("ASR", dim_model=128, acous_hidden_size=64,
+                  enc_vocab_size=50, enc_embedding_size=16)
+        params = las_decoder_init(jax.random.PRNGKey(3), cfg)
+        rng = np.random.RandomState(1)
+        B, Tk = 2, 12
+        acous_out = jnp.asarray(rng.randn(B, Tk, 128).astype(np.float32))
+        lens = jnp.asarray([Tk * 8, Tk * 8 // 2])
+        refs = jnp.asarray(rng.randint(5, 50, size=(B, 11)).astype(np.int32))
+
+        dense = las_decoder_forward(
+            params, cfg, acous_out, acous_lens=lens, max_seq_len=12,
+            ref_tokens=refs, want_logps=False, flash_ok=False)
+        flash = las_decoder_forward(
+            params, cfg, acous_out, acous_lens=lens, max_seq_len=12,
+            ref_tokens=refs, want_logps=False, flash_ok=True)
+        np.testing.assert_array_equal(np.asarray(dense[2]), np.asarray(flash[2]))
+        np.testing.assert_array_equal(np.asarray(dense[3]), np.asarray(flash[3]))
+        np.testing.assert_allclose(np.asarray(dense[0]), np.asarray(flash[0]),
+                                   rtol=0, atol=2e-5)
+        np.testing.assert_allclose(np.asarray(dense[1]), np.asarray(flash[1]),
+                                   rtol=0, atol=2e-5)
+    finally:
+        os.environ.pop("STJEP_FORCE_FLASH", None)
