@@ -119,7 +119,7 @@ def _head_sel(D: int, n_head: int):
 def _self_core(pos, x, anc_ref, maskk_ref,
                lns_ref, lnb_ref, wq_ref, wk_ref, wv_ref, wo_ref,
                ck_out, cv_out,
-               kbuf, vbuf, kflush_ref, vflush_ref, sem_rd, sem_wr,
+               kbuf, vbuf, sem_rd, sem_wr,
                n_head: int, group: int, blk: int = BLOCK):
     """Fused self-attention step body; returns y [BK, D] and persists the
     new K/V row into the (aliased) HBM caches as a side effect."""
@@ -138,10 +138,27 @@ def _self_core(pos, x, anc_ref, maskk_ref,
 
     # The new position's K/V row is NOT written to HBM up front: a 1-row DMA
     # slice on the tiled L dim is rejected by Mosaic (8-row alignment). It is
-    # instead injected in-register into the attention values of the block
-    # containing `pos`, and the whole (block-aligned) pos-block is flushed
-    # back to the cache after the loop.
+    # instead injected into the VMEM block buffer when the block containing
+    # `pos` arrives (one [group, B, blk, D] select, last block only — cheaper
+    # than an every-block [BK, blk, D] in-register where), and that buffer is
+    # flushed back to the cache verbatim after the loop.
     nb = pos // blk + 1  # dynamic trip count: only the live prefix
+    last = nb - 1
+
+    # regroup the new row b-major -> group-major with 0/1 row-select matmuls
+    # (Mosaic-safe; used by the last-block injection below)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (B, BK), 1)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (B, BK), 0) * group
+    knew_gm = []
+    vnew_gm = []
+    for j in range(group):
+        pj = (rows == cols + j).astype(f32)  # [B, BK] selects rows b*g+j
+        knew_gm.append(jnp.dot(pj, k_new, preferred_element_type=f32)[None])
+        vnew_gm.append(jnp.dot(pj, v_new, preferred_element_type=f32)[None])
+    knew_gm = jnp.concatenate(knew_gm, axis=0)  # [group, B, D]
+    vnew_gm = jnp.concatenate(vnew_gm, axis=0)
+    inblk = jax.lax.broadcasted_iota(
+        jnp.int32, (group, B, blk, 1), 2) == (pos - last * blk)
 
     def rd(i, slot):
         k_dma = pltpu.make_async_copy(
@@ -174,6 +191,22 @@ def _self_core(pos, x, anc_ref, maskk_ref,
         kw.wait()
         vw.wait()
 
+        # inject the current position's freshly-projected K/V into the VMEM
+        # buffer of the block that contains `pos` (row `pos` is not in HBM
+        # yet; anc[pos] is each row's own index, so the group-major regrouped
+        # rows are the right values). The modified buffer doubles as the
+        # flush source after the loop.
+        sdt = kbuf.dtype
+
+        @pl.when(i == last)
+        def _inject():
+            kbuf[slot] = jnp.where(
+                inblk, knew_gm[:, :, None, :], kbuf[slot].astype(f32)
+            ).astype(sdt)
+            vbuf[slot] = jnp.where(
+                inblk, vnew_gm[:, :, None, :], vbuf[slot].astype(f32)
+            ).astype(sdt)
+
         l_start = i * blk
         # anc/mask arrive TRANSPOSED [L, BK]: the block slice is then a
         # sublane slice (dynamic lane offsets must be 128-multiples)
@@ -192,7 +225,6 @@ def _self_core(pos, x, anc_ref, maskk_ref,
         # the dominant VPU select traffic (ROADMAP #2 "bf16 select
         # arithmetic"); the f32-parity mode is unchanged. Scores still
         # accumulate f32 on the MXU via preferred_element_type.
-        sdt = kbuf.dtype
         ksel = jnp.zeros((BK, blk, D), sdt)
         vsel = jnp.zeros((BK, blk, D), sdt)
         for j in range(group):
@@ -205,13 +237,6 @@ def _self_core(pos, x, anc_ref, maskk_ref,
             take = (anc_blk == j).astype(f32)[:, :, None] > 0.5
             ksel = jnp.where(take, kj, ksel)
             vsel = jnp.where(take, vj, vsel)
-
-        # inject the current position's freshly-projected K/V (row `pos` is
-        # not in HBM yet; anc[pos] is each row's own index, so the straight
-        # b-major rows are the right values)
-        atpos = (lidx == pos).astype(f32)[:, :, None] > 0.5
-        ksel = jnp.where(atpos, k_new[:, None, :].astype(sdt), ksel)
-        vsel = jnp.where(atpos, v_new[:, None, :].astype(sdt), vsel)
 
         # per-head scores via the head-selector matmul (no lane reshape);
         # hsel matches the select dtype so nothing silently promotes back
@@ -242,34 +267,15 @@ def _self_core(pos, x, anc_ref, maskk_ref,
     out = acc / lsum_exp
     y = jnp.dot(out, wo_ref[:], preferred_element_type=f32) + x
 
-    # ---- persist the new K/V row: rewrite the (BLOCK-aligned) pos-block
-    # with the loaded contents + the new row at `pos`. Rows are regrouped
-    # b-major -> group-major with 0/1 row-select matmuls (Mosaic-safe).
-    last = nb - 1
+    # ---- persist the new K/V row: the last block's VMEM buffer already
+    # holds the loaded contents with the new row injected at `pos`, so the
+    # flush is a verbatim DMA of that buffer back to the cache.
     slot_last = jax.lax.rem(last, 2)
-    rows = jax.lax.broadcasted_iota(jnp.int32, (B, BK), 1)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (B, BK), 0) * group
-    knew_gm = []
-    vnew_gm = []
-    for j in range(group):
-        pj = (rows == cols + j).astype(f32)  # [B, BK] selects rows b*g+j
-        knew_gm.append(jnp.dot(pj, k_new, preferred_element_type=f32)[None])
-        vnew_gm.append(jnp.dot(pj, v_new, preferred_element_type=f32)[None])
-    knew_gm = jnp.concatenate(knew_gm, axis=0)  # [group, B, D]
-    vnew_gm = jnp.concatenate(vnew_gm, axis=0)
-    inblk = jax.lax.broadcasted_iota(
-        jnp.int32, (group, B, blk, 1), 2) == (pos - last * blk)
-    kflush_ref[:] = jnp.where(
-        inblk, knew_gm[:, :, None, :],
-        kbuf[slot_last].astype(f32)).astype(kflush_ref.dtype)
-    vflush_ref[:] = jnp.where(
-        inblk, vnew_gm[:, :, None, :],
-        vbuf[slot_last].astype(f32)).astype(vflush_ref.dtype)
     fk = pltpu.make_async_copy(
-        kflush_ref, ck_out.at[:, :, pl.ds(last * blk, blk), :],
+        kbuf.at[slot_last], ck_out.at[:, :, pl.ds(last * blk, blk), :],
         sem_wr.at[0])
     fv = pltpu.make_async_copy(
-        vflush_ref, cv_out.at[:, :, pl.ds(last * blk, blk), :],
+        vbuf.at[slot_last], cv_out.at[:, :, pl.ds(last * blk, blk), :],
         sem_wr.at[1])
     fk.start()
     fv.start()
@@ -282,12 +288,12 @@ def _self_kernel(pos_ref, x_ref, anc_ref, maskk_ref,
                  lns_ref, lnb_ref, wq_ref, wk_ref, wv_ref, wo_ref,
                  ck_in, cv_in,
                  y_ref, ck_out, cv_out,
-                 kbuf, vbuf, kflush_ref, vflush_ref, sem_rd, sem_wr,
+                 kbuf, vbuf, sem_rd, sem_wr,
                  *, n_head: int, group: int, blk: int):
     y_ref[:] = _self_core(
         pos_ref[0], x_ref[:], anc_ref, maskk_ref,
         lns_ref, lnb_ref, wq_ref, wk_ref, wv_ref, wo_ref,
-        ck_out, cv_out, kbuf, vbuf, kflush_ref, vflush_ref, sem_rd, sem_wr,
+        ck_out, cv_out, kbuf, vbuf, sem_rd, sem_wr,
         n_head, group, blk)
 
 
@@ -351,8 +357,6 @@ def self_attn_step(
         scratch_shapes=[
             pltpu.VMEM((2, group, B, blk, D), cdt),  # kbuf
             pltpu.VMEM((2, group, B, blk, D), cdt),  # vbuf
-            pltpu.VMEM((group, B, blk, D), cdt),  # kflush
-            pltpu.VMEM((group, B, blk, D), cdt),  # vflush
             pltpu.SemaphoreType.DMA((2, 2)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
@@ -567,14 +571,14 @@ def _layer_kernel(pos_ref, x_ref, anc_ref, maskk_ref, memmask_ref,
                   flns_ref, flnb_ref, w1_ref, b1_ref, w2_ref, b2_ref,
                   ck_in, cv_in, mk_hbm, mv_hbm,
                   y_ref, ck_out, cv_out,
-                  kbuf, vbuf, kflush_ref, vflush_ref, mkbuf, mvbuf,
+                  kbuf, vbuf, mkbuf, mvbuf,
                   sem_self, sem_wr, sem_cross,
                   *, n_head: int, group: int, bs: int, blk: int):
     """One decoder layer's whole decode step in a single launch."""
     y = _self_core(
         pos_ref[0], x_ref[:], anc_ref, maskk_ref,
         slns_ref, slnb_ref, wq_ref, wk_ref, wv_ref, wo_ref,
-        ck_out, cv_out, kbuf, vbuf, kflush_ref, vflush_ref,
+        ck_out, cv_out, kbuf, vbuf,
         sem_self, sem_wr, n_head, group, blk)
     y = _cross_core(
         y, memmask_ref, clns_ref, clnb_ref, cwq_ref, cwo_ref,
@@ -654,8 +658,6 @@ def decoder_layer_step_flash(
         scratch_shapes=[
             pltpu.VMEM((2, group, B, blk, D), cdt),  # kbuf
             pltpu.VMEM((2, group, B, blk, D), cdt),  # vbuf
-            pltpu.VMEM((group, B, blk, D), cdt),  # kflush
-            pltpu.VMEM((group, B, blk, D), cdt),  # vflush
             pltpu.VMEM((2, B, bs, D), mdt),  # mem kbuf
             pltpu.VMEM((2, B, bs, D), mdt),  # mem vbuf
             pltpu.SemaphoreType.DMA((2, 2)),
