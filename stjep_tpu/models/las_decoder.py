@@ -120,7 +120,7 @@ def _dec_lstm_stack(params, cfg, x, h, c, masks, pre0=None):
         h0, c0 = lstm_cell_step(params["dec_l0"], x, h[0], c[0])
     hs.append(h0)
     cs.append(c0)
-    out = h0 if masks is None else h0 * masks[0]
+    out = h0 if masks is None else h0 * masks[0].astype(h0.dtype)
     for i in range(1, n):
         inp = out
         hi, ci = lstm_cell_step(params[f"dec_l{i}"], inp, h[i], c[i])
@@ -129,7 +129,7 @@ def _dec_lstm_stack(params, cfg, x, h, c, masks, pre0=None):
         y = hi
         if i < n - 1:  # residual on middle layers only (ref: Dec.py:417-418)
             y = y + inp
-        out = y if masks is None else y * masks[i]
+        out = y if masks is None else y * masks[i].astype(y.dtype)
     return out, jnp.stack(hs), jnp.stack(cs)
 
 
@@ -170,7 +170,8 @@ def las_decoder_step_core(
         params["acous_att"], pre_keys, query, att_values, cfg.acous_att_mode,
         mask=att_mask, prev_c=state.prev_c,
     )
-    att_out = ctx if ctx_mask is None else ctx * ctx_mask
+    att_out = (ctx if ctx_mask is None
+               else ctx * ctx_mask.astype(ctx.dtype))
 
     ff_in = jnp.concatenate([att_out, query], axis=-1)  # [B, 1, 2Ha+Hd]
     cell_value = linear(params["acous_ffn"], ff_in)  # [B, 1, Hs]
@@ -364,16 +365,42 @@ def las_decoder_forward(
         pre0_steps = (emb_steps @ p0["w_ih"][:E]
                       + p0["b_ih"] + p0["b_hh"])  # [L-1, B, 4Hd]
 
-        def body_tf(state, xs):
-            pre0_t, m = (xs[0], masks_at(xs[1:])) if use_drop else (xs[0], None)
-            cell_value, _attn, state = las_decoder_step_core(
-                params, cfg, pre_keys, acous_outputs, att_mask, pre0_t,
-                state, masks=m, emb_is_pre0=True,
-            )
-            return state, cell_value
+        import os
 
-        xs = (pre0_steps,) + (step_masks if use_drop else ())
-        _final, embs = jax.lax.scan(body_tf, init, xs)
+        from stjep_tpu.ops.las_tf_flash import las_tf_flash_supported
+
+        use_tf_kernel = (
+            cfg.num_unilstm_dec == 3
+            and cfg.acous_att_mode == "bilinear"
+            and las_tf_flash_supported(cfg)
+            and (jax.default_backend() != "cpu"
+                 or os.environ.get("STJEP_FORCE_FLASH") == "1")
+        )
+        if use_tf_kernel:
+            # fused Pallas scan with a fused reverse-time backward
+            # (ops/las_tf_flash.py) — differentiable via custom_vjp, so the
+            # training path uses it too
+            from stjep_tpu.ops.las_tf_flash import las_tf_scan
+
+            stack = {k: params[k] for k in ("dec_l0", "dec_l1", "dec_l2")}
+            lens_k = (lens8 if acous_lens is not None
+                      else jnp.full((B,), Tk, jnp.int32))
+            embs = las_tf_scan(
+                stack, params["acous_att"]["linear_att_w"]["w"],
+                params["acous_ffn"]["w"], pre0_steps, acous_outputs,
+                lens_k, step_masks)
+        else:
+            def body_tf(state, xs):
+                pre0_t, m = ((xs[0], masks_at(xs[1:])) if use_drop
+                             else (xs[0], None))
+                cell_value, _attn, state = las_decoder_step_core(
+                    params, cfg, pre_keys, acous_outputs, att_mask, pre0_t,
+                    state, masks=m, emb_is_pre0=True,
+                )
+                return state, cell_value
+
+            xs = (pre0_steps,) + (step_masks if use_drop else ())
+            _final, embs = jax.lax.scan(body_tf, init, xs)
         embs_bt = jnp.swapaxes(embs, 0, 1)  # [B, L-1, Hs]
         logits = linear(params["acous_out"], embs_bt)
         logps_bt = jax.nn.log_softmax(logits, axis=-1)

@@ -133,3 +133,67 @@ def test_las_greedy_flash_matches_dense():
                                    rtol=0, atol=2e-5)
     finally:
         os.environ.pop("STJEP_FORCE_FLASH", None)
+
+
+@pytest.mark.slow
+def test_las_tf_flash_forward_and_grad_match():
+    """Fused teacher-forced scan kernel pair (interpret mode): forward embs
+    and full parameter gradients match the XLA scan path, with and without
+    dropout (the hoisted masks are shared, so paths are comparable)."""
+    from stjep_tpu.models.las_decoder import las_decoder_forward, las_decoder_init
+
+    cfg = _mk("ASR", dim_model=128, acous_hidden_size=64,
+              enc_vocab_size=50, enc_embedding_size=16)
+    params = las_decoder_init(jax.random.PRNGKey(3), cfg)
+    rng = np.random.RandomState(1)
+    B, Tk = 2, 12
+    acous_out = jnp.asarray(rng.randn(B, Tk, 128).astype(np.float32))
+    lens = jnp.asarray([Tk * 8, Tk * 8 // 2])
+    tgt = jnp.asarray(rng.randint(5, 50, size=(B, 10)).astype(np.int32)
+                      ).at[:, 0].set(BOS)
+
+    def run(p, training, key):
+        os_flag = os.environ.get("STJEP_FORCE_FLASH")
+        embs, logps, preds, lengths = las_decoder_forward(
+            p, cfg, acous_out, acous_lens=lens, tgt=tgt,
+            use_teacher_forcing=True, rng=key, is_training=training)
+        return embs, logps, preds, lengths
+
+    for training, drop in ((False, 0.0), (True, 0.2)):
+        c = cfg
+        if drop != cfg.dropout:
+            import dataclasses
+            c = dataclasses.replace(cfg, dropout=drop)
+        key = jax.random.PRNGKey(7)
+
+        def fwd(p, flash):
+            if flash:
+                os.environ["STJEP_FORCE_FLASH"] = "1"
+            else:
+                os.environ.pop("STJEP_FORCE_FLASH", None)
+            try:
+                return las_decoder_forward(
+                    p, c, acous_out, acous_lens=lens, tgt=tgt,
+                    use_teacher_forcing=True, rng=key, is_training=training)
+            finally:
+                os.environ.pop("STJEP_FORCE_FLASH", None)
+
+        d = fwd(params, False)
+        f = fwd(params, True)
+        np.testing.assert_allclose(np.asarray(d[0]), np.asarray(f[0]),
+                                   rtol=0, atol=3e-5)
+        np.testing.assert_array_equal(np.asarray(d[2]), np.asarray(f[2]))
+
+        def loss(p, flash):
+            embs, logps, preds, lengths = fwd(p, flash)
+            pick = jnp.take_along_axis(
+                logps, tgt[:, 1:].astype(jnp.int32)[:, :, None], axis=2)
+            return -jnp.sum(pick)
+
+        gd = jax.grad(lambda p: loss(p, False))(params)
+        gf = jax.grad(lambda p: loss(p, True))(params)
+        flat_d, _ = jax.tree_util.tree_flatten(gd)
+        flat_f, _ = jax.tree_util.tree_flatten(gf)
+        for a, b in zip(flat_d, flat_f):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-4, atol=2e-4)
