@@ -84,8 +84,8 @@ def _fwd_save_kernel(len_ref, xpf_ref, xpb_ref, whf_ref, whb_ref,
 
 def _bwd_kernel(len_ref, gof_ref, gob_ref, hsf_ref, csf_ref, gf_ref,
                 hsb_ref, csb_ref, gb_ref, whf_ref, whb_ref,
-                dxpf_ref, dxpb_ref, dwhf_ref, dwhb_ref,
-                dhf, dcf, dhb, dcb, awhf, awhb, *, unroll, fast):
+                dxpf_ref, dxpb_ref,
+                dhf, dcf, dhb, dcb, *, unroll, fast):
     """Reverse-time pass; grid step t processes position block Tb-1-t
     (descending within the block) for the forward direction and block t
     (ascending) for the backward direction."""
@@ -101,19 +101,16 @@ def _bwd_kernel(len_ref, gof_ref, gob_ref, hsf_ref, csf_ref, gf_ref,
         dcf[:] = jnp.zeros_like(dcf)
         dhb[:] = jnp.zeros_like(dhb)
         dcb[:] = jnp.zeros_like(dcb)
-        awhf[:] = jnp.zeros_like(awhf)
-        awhb[:] = jnp.zeros_like(awhb)
 
     lens = len_ref[:]
 
-    def one(go_ref, hs_ref, cs_ref, g_ref, wh_ref, dxp_ref, awh, dh, dc,
+    def one(go_ref, hs_ref, cs_ref, g_ref, wh_ref, dxp_ref, dh, dc,
             row, pos):
         gates = g_ref[row]
         i = gates[:, 0 * H:1 * H]
         f = gates[:, 1 * H:2 * H]
         g = gates[:, 2 * H:3 * H]
         o = gates[:, 3 * H:4 * H]
-        h_prev = hs_ref[row]
         c_prev = cs_ref[row]
         c_t = f * c_prev + i * g
         tanh_c = jnp.tanh(c_t)
@@ -133,16 +130,14 @@ def _bwd_kernel(len_ref, gof_ref, gob_ref, hsf_ref, csf_ref, gf_ref,
         ], axis=-1)
         dpre = jnp.where(valid, dpre, jnp.zeros_like(dpre))
         dxp_ref[row] = dpre
+        # dW_hh accumulation moved OUT of the kernel (one big MXU matmul
+        # over the dxp stream and the saved h carries) — it was a second
+        # chained matmul on every step of the serial critical path
         if fast:  # bf16 operands, f32 accumulation (see lstm_pallas.bf16_dot)
-            h_prev = h_prev.astype(jnp.bfloat16)
             dpre_mm = dpre.astype(jnp.bfloat16)
             wh = wh_ref[:].astype(jnp.bfloat16)
         else:
             dpre_mm, wh = dpre, wh_ref[:]
-        awh[:] += jax.lax.dot_general(
-            h_prev, dpre_mm, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
         dh_back = jax.lax.dot_general(
             dpre_mm, wh, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -152,15 +147,10 @@ def _bwd_kernel(len_ref, gof_ref, gob_ref, hsf_ref, csf_ref, gf_ref,
 
     for u in range(unroll):
         ub = unroll - 1 - u
-        one(gof_ref, hsf_ref, csf_ref, gf_ref, whf_ref, dxpf_ref, awhf,
+        one(gof_ref, hsf_ref, csf_ref, gf_ref, whf_ref, dxpf_ref,
             dhf, dcf, ub, (Tb - 1 - t) * unroll + ub)
-        one(gob_ref, hsb_ref, csb_ref, gb_ref, whb_ref, dxpb_ref, awhb,
+        one(gob_ref, hsb_ref, csb_ref, gb_ref, whb_ref, dxpb_ref,
             dhb, dcb, u, t * unroll + u)
-
-    @pl.when(t == Tb - 1)
-    def _flush():
-        dwhf_ref[:] = awhf[:]
-        dwhb_ref[:] = awhb[:]
 
 
 def _interpret():
@@ -260,7 +250,7 @@ def _tr_bwd(res, g_out):
     bpos = lambda w: pl.BlockSpec((U, B, w), lambda t: (t, 0, 0),
                                   memory_space=pltpu.VMEM)
     wspec = pl.BlockSpec((H, 4 * H), lambda t: (0, 0), memory_space=pltpu.VMEM)
-    (dxp_f, dxp_b, dwh_f, dwh_b) = pl.pallas_call(
+    (dxp_f, dxp_b) = pl.pallas_call(
         functools.partial(_bwd_kernel, unroll=U, fast=not _interpret()),
         grid=(Tb,),
         in_specs=[
@@ -270,18 +260,19 @@ def _tr_bwd(res, g_out):
             bpos(H), bpos(H), bpos(4 * H),
             wspec, wspec,
         ],
-        out_specs=(fpos(4 * H), bpos(4 * H), wspec, wspec),
+        out_specs=(fpos(4 * H), bpos(4 * H)),
         out_shape=(
             jax.ShapeDtypeStruct((T, B, 4 * H), f32),
             jax.ShapeDtypeStruct((T, B, 4 * H), f32),
-            jax.ShapeDtypeStruct((H, 4 * H), f32),
-            jax.ShapeDtypeStruct((H, 4 * H), f32),
         ),
-        scratch_shapes=[pltpu.VMEM((B, H), f32)] * 4
-        + [pltpu.VMEM((H, 4 * H), f32)] * 2,
+        scratch_shapes=[pltpu.VMEM((B, H), f32)] * 4,
         interpret=_interpret(),
     )(len2d, go_f, go_b, hs_f, cs_f, g_f, hs_b, cs_b, g_b,
       params_fwd["w_hh"], params_bwd["w_hh"])
+
+    # dW_hh = h_prev^T dpre, one MXU matmul over the whole stream per dir
+    dwh_f = hs_f.reshape(-1, H).T @ dxp_f.reshape(-1, 4 * H)
+    dwh_b = hs_b.reshape(-1, H).T @ dxp_b.reshape(-1, 4 * H)
 
     dxp_f = jnp.swapaxes(dxp_f, 0, 1)  # [B, T, 4H]
     dxp_b = jnp.swapaxes(dxp_b, 0, 1)
