@@ -67,9 +67,10 @@ def _kernel(lens_ref, sym0_ref, refs_ref, wk_ref, val_ref, emb_ref,
             n_layers: int, E: int, Ha2: int):
     from jax.experimental import pallas as pl
 
-    lstm_refs = rest[: 3 * n_layers]
-    embs_ref, pred_ref, picked_ref = rest[3 * n_layers:3 * n_layers + 3]
-    scratch = rest[3 * n_layers + 3:]
+    n_w = 2 * n_layers + 1
+    lstm_refs = rest[:n_w]
+    embs_ref, pred_ref, picked_ref = rest[n_w:n_w + 3]
+    scratch = rest[n_w + 3:]
     h_scr = scratch[:n_layers]
     c_scr = scratch[n_layers:2 * n_layers]
     cell_scr, sym_scr = scratch[2 * n_layers], scratch[2 * n_layers + 1]
@@ -108,16 +109,19 @@ def _kernel(lens_ref, sym0_ref, refs_ref, wk_ref, val_ref, emb_ref,
         c_new = f * c + i * g
         return o * jnp.tanh(c_new), c_new
 
-    w_ih0, w_hh0, b0 = lstm_refs[0], lstm_refs[1], lstm_refs[2]
-    pre = (mdot(emb, w_ih0[:E]) + mdot(cell_scr[:], w_ih0[E:])
-           + mdot(h_scr[0][:], w_hh0[:]) + b0[:])
+    # recurrent inputs lane-concatenated: one chained dot per layer
+    # (the emb side stays separate — E is not a lane-tile multiple)
+    w_ih0E, w0_ref, b0 = lstm_refs[0], lstm_refs[1], lstm_refs[2]
+    pre = (mdot(emb, w_ih0E[:])
+           + mdot(jnp.concatenate([cell_scr[:], h_scr[0][:]], axis=-1),
+                  w0_ref[:]) + b0[:])
     h_new, c_new = gates(pre, c_scr[0][:])
     h_scr[0][:] = h_new
     c_scr[0][:] = c_new
     out = h_new
     for i in range(1, n_layers):
-        w_ih, w_hh, b = lstm_refs[3 * i:3 * i + 3]
-        pre = mdot(out, w_ih[:]) + mdot(h_scr[i][:], w_hh[:]) + b[:]
+        w_i, b = lstm_refs[i * 2 + 1], lstm_refs[i * 2 + 2]
+        pre = mdot(jnp.concatenate([out, h_scr[i][:]], axis=-1), w_i[:]) + b[:]
         h_new, c_new = gates(pre, c_scr[i][:])
         h_scr[i][:] = h_new
         c_scr[i][:] = c_new
@@ -135,7 +139,7 @@ def _kernel(lens_ref, sym0_ref, refs_ref, wk_ref, val_ref, emb_ref,
     ctx = jnp.sum(attn[:, :, None] * val_ref[:].astype(f32), axis=1)  # [B,Ha2]
 
     # FFN [att ; dec] -> dynamic embedding (no bias, ref: Dec.py:96-97)
-    cell_new = mdot(ctx, wffn_ref[:Ha2]) + mdot(q, wffn_ref[Ha2:])
+    cell_new = mdot(jnp.concatenate([ctx, q], axis=-1), wffn_ref[:])
 
     # output head + log-softmax stats + greedy pick (ref: Dec.py:320-341)
     logits = mdot(cell_new, wout_ref[:]) + bout_ref[:]  # [B, V]
@@ -182,11 +186,18 @@ def las_greedy_flash(
         wdt = jnp.float32 if interpret else jnp.bfloat16
 
     cast = lambda a: a.astype(wdt)
-    lstm_args = []
-    for i in range(n):
+    p0 = params["dec_l0"]
+    lstm_args = [
+        cast(p0["w_ih"][:E]),
+        cast(jnp.concatenate([p0["w_ih"][E:], p0["w_hh"]], axis=0)),
+        (p0["b_ih"] + p0["b_hh"]).astype(f32)[None, :],
+    ]
+    for i in range(1, n):
         p = params[f"dec_l{i}"]
-        lstm_args += [cast(p["w_ih"]), cast(p["w_hh"]),
-                      (p["b_ih"] + p["b_hh"]).astype(f32)[None, :]]
+        lstm_args += [
+            cast(jnp.concatenate([p["w_ih"], p["w_hh"]], axis=0)),
+            (p["b_ih"] + p["b_hh"]).astype(f32)[None, :],
+        ]
     if ref_tokens is None:
         ref_tokens = jnp.zeros((B, n_steps), jnp.int32)
     # refs enter as [n_steps, B, 128] lane-broadcast blocks (full-tile IO)
@@ -206,7 +217,7 @@ def las_greedy_flash(
     embs, preds, picked = pl.pallas_call(
         functools.partial(_kernel, n_layers=n, E=E, Ha2=Ha2),
         grid=(n_steps,),
-        in_specs=[vmem(), vmem(), refs_spec] + [vmem()] * (6 + 3 * n),
+        in_specs=[vmem(), vmem(), refs_spec] + [vmem()] * (7 + 2 * n),
         out_specs=(embs_spec, pred_spec, picked_spec),
         out_shape=(embs_shape, pred_shape, picked_shape),
         scratch_shapes=(

@@ -72,8 +72,7 @@ def _mdot(a, w):
 
 def _fwd_kernel(lens_ref, pre0_ref, m0_ref, m1_ref, m2_ref, mctx_ref,
                 wk_ref, val_ref,
-                wc0_ref, wh0_ref, wi1_ref, wh1_ref, b1_ref,
-                wi2_ref, wh2_ref, b2_ref, wfc_ref, wfq_ref,
+                w0_ref, w1_ref, b1_ref, w2_ref, b2_ref, wffn_ref,
                 cell_ref, g0_ref, g1_ref, g2_ref,
                 hp0_ref, hp1_ref, hp2_ref, cp0_ref, cp1_ref, cp2_ref,
                 in1_ref, in2_ref, q_ref, attn_ref, ctxm_ref,
@@ -93,10 +92,13 @@ def _fwd_kernel(lens_ref, pre0_ref, m0_ref, m1_ref, m2_ref, mctx_ref,
             r[:] = jnp.zeros_like(r)
 
     # ---- layer 0: input = [emb (hoisted into pre0) ; cell_value]
+    # recurrent inputs are lane-concatenated so each layer is ONE chained
+    # MXU dot ([x ; h] @ [Wi ; Wh]) instead of two — halves the serial
+    # matmul chain per step
     hp0_ref[0] = h0[:]
     cp0_ref[0] = c0[:]
-    pre = (pre0_ref[0] + _mdot(cell[:], wc0_ref[:])
-           + _mdot(h0[:], wh0_ref[:]))
+    pre = pre0_ref[0] + _mdot(
+        jnp.concatenate([cell[:], h0[:]], axis=-1), w0_ref[:])
     h_new, c_new, gsave = _gates_fwd(pre, c0[:], Hd)
     g0_ref[0] = gsave
     h0[:] = h_new
@@ -107,7 +109,7 @@ def _fwd_kernel(lens_ref, pre0_ref, m0_ref, m1_ref, m2_ref, mctx_ref,
     # ---- layer 1 (residual)
     hp1_ref[0] = h1[:]
     cp1_ref[0] = c1[:]
-    pre = _mdot(x1, wi1_ref[:]) + _mdot(h1[:], wh1_ref[:]) + b1_ref[:]
+    pre = _mdot(jnp.concatenate([x1, h1[:]], axis=-1), w1_ref[:]) + b1_ref[:]
     h_new, c_new, gsave = _gates_fwd(pre, c1[:], Hd)
     g1_ref[0] = gsave
     h1[:] = h_new
@@ -119,7 +121,7 @@ def _fwd_kernel(lens_ref, pre0_ref, m0_ref, m1_ref, m2_ref, mctx_ref,
     # ---- layer 2 (no residual; output is the query)
     hp2_ref[0] = h2[:]
     cp2_ref[0] = c2[:]
-    pre = _mdot(x2, wi2_ref[:]) + _mdot(h2[:], wh2_ref[:]) + b2_ref[:]
+    pre = _mdot(jnp.concatenate([x2, h2[:]], axis=-1), w2_ref[:]) + b2_ref[:]
     h_new, c_new, gsave = _gates_fwd(pre, c2[:], Hd)
     g2_ref[0] = gsave
     h2[:] = h_new
@@ -139,8 +141,8 @@ def _fwd_kernel(lens_ref, pre0_ref, m0_ref, m1_ref, m2_ref, mctx_ref,
     ctx_m = ctx * mctx_ref[0] if use_masks else ctx
     ctxm_ref[0] = ctx_m
 
-    # ---- FFN -> dynamic embedding (no bias)
-    cell_new = _mdot(ctx_m, wfc_ref[:]) + _mdot(q, wfq_ref[:])
+    # ---- FFN -> dynamic embedding (no bias; one [ctx ; q] dot)
+    cell_new = _mdot(jnp.concatenate([ctx_m, q], axis=-1), wffn_ref[:])
     cell_ref[0] = cell_new
     cell[:] = cell_new
 
@@ -152,8 +154,7 @@ def _fwd_kernel(lens_ref, pre0_ref, m0_ref, m1_ref, m2_ref, mctx_ref,
 
 def _bwd_kernel(lens_ref, gcell_ref, m0_ref, m1_ref, m2_ref, mctx_ref,
                 wk_ref, val_ref,
-                wc0_ref, wh0_ref, wi1_ref, wh1_ref, wi2_ref, wh2_ref,
-                wfc_ref, wfq_ref,
+                w0t_ref, w1t_ref, w2t_ref, wffnt_ref,
                 g0_ref, g1_ref, g2_ref,
                 cp0_ref, cp1_ref, cp2_ref, attn_ref,
                 dpre0_ref, dpre1_ref, dpre2_ref, dsc_ref, dcell_ref,
@@ -206,9 +207,11 @@ def _bwd_kernel(lens_ref, gcell_ref, m0_ref, m1_ref, m2_ref, mctx_ref,
     dcell_t = gcell_ref[0] + dcell[:]
     dcell_ref[0] = dcell_t
 
-    # ---- FFN bwd
-    dctx_m = _mdot(dcell_t, wfc_ref[:])  # wfc passed TRANSPOSED [Hs, Ha2]
-    dq = _mdot(dcell_t, wfq_ref[:])      # wfq^T [Hs, Hd]
+    # ---- FFN bwd: one dot through wffn^T [Hs, Ha2+Hd], lane-sliced
+    Ha2 = val_ref.shape[-1]
+    dff = _mdot(dcell_t, wffnt_ref[:])
+    dctx_m = dff[:, :Ha2]
+    dq = dff[:, Ha2:]
 
     # ---- attention bwd
     dctx = dctx_m * mctx_ref[0] if use_masks else dctx_m
@@ -218,26 +221,29 @@ def _bwd_kernel(lens_ref, gcell_ref, m0_ref, m1_ref, m2_ref, mctx_ref,
     dsc_ref[0] = dsc
     dq = dq + jnp.sum(dsc[:, :, None] * wk_ref[:].astype(f32), axis=1)
 
-    # ---- layer 2 bwd
+    # ---- layer 2 bwd (merged dx/dh dot through [Wi ; Wh]^T)
     go2 = dq * m2_ref[0] if use_masks else dq
     dpre2 = lstm_bwd(go2, g2_ref, cp2_ref, dh2, dc2)
     dpre2_ref[0] = dpre2
-    dh2[:] = _mdot(dpre2, wh2_ref[:])  # wh2^T resident
-    dx2 = _mdot(dpre2, wi2_ref[:])     # wi2^T
+    dxh2 = _mdot(dpre2, w2t_ref[:])  # [B, 2Hd]
+    dh2[:] = dxh2[:, Hd:]
+    dx2 = dxh2[:, :Hd]
 
     # ---- layer 1 bwd (residual: y1 = h1 + x1)
     dy1 = dx2 * m1_ref[0] if use_masks else dx2
     dpre1 = lstm_bwd(dy1, g1_ref, cp1_ref, dh1, dc1)
     dpre1_ref[0] = dpre1
-    dh1[:] = _mdot(dpre1, wh1_ref[:])
-    dx1 = dy1 + _mdot(dpre1, wi1_ref[:])  # residual + through-cell paths
+    dxh1 = _mdot(dpre1, w1t_ref[:])
+    dh1[:] = dxh1[:, Hd:]
+    dx1 = dy1 + dxh1[:, :Hd]  # residual + through-cell paths
 
     # ---- layer 0 bwd
     go0 = dx1 * m0_ref[0] if use_masks else dx1
     dpre0 = lstm_bwd(go0, g0_ref, cp0_ref, dh0, dc0)
     dpre0_ref[0] = dpre0
-    dh0[:] = _mdot(dpre0, wh0_ref[:])
-    dcell[:] = _mdot(dpre0, wc0_ref[:])  # wc0^T: into previous cell_value
+    dxh0 = _mdot(dpre0, w0t_ref[:])  # [B, 2Hd]: [cell ; h0] cotangents
+    dcell[:] = dxh0[:, :Hd]
+    dh0[:] = dxh0[:, Hd:]
 
 
 # ---------------------------------------------------------------------------
@@ -284,7 +290,7 @@ def _run_fwd(stack, att_w, ffn_w, pre0_steps, wk, values, lens_k, masks):
     mw = 1 if not use_masks else Hd
     mcw = 1 if not use_masks else Ha2
     in_specs = [vmem(), sp(4 * Hd, S), sp(mw, S), sp(mw, S), sp(mw, S),
-                sp(mcw, S)] + [vmem()] * 12
+                sp(mcw, S)] + [vmem()] * 8
     outs = [
         (sp(Hd, S), jax.ShapeDtypeStruct((S, B, Hd), f32)),     # cell
         (sp(4 * Hd, S), jax.ShapeDtypeStruct((S, B, 4 * Hd), f32)),  # g0
@@ -311,12 +317,12 @@ def _run_fwd(stack, att_w, ffn_w, pre0_steps, wk, values, lens_k, masks):
         lens_k.astype(jnp.int32)[:, None],
         pre0_steps, m0, m1, m2, mctx,
         cast(wk), cast(values),
-        cast(p0["w_ih"][E:]), cast(p0["w_hh"]),
-        cast(p1["w_ih"]), cast(p1["w_hh"]),
+        cast(jnp.concatenate([p0["w_ih"][E:], p0["w_hh"]], axis=0)),
+        cast(jnp.concatenate([p1["w_ih"], p1["w_hh"]], axis=0)),
         (p1["b_ih"] + p1["b_hh"]).astype(f32)[None, :],
-        cast(p2["w_ih"]), cast(p2["w_hh"]),
+        cast(jnp.concatenate([p2["w_ih"], p2["w_hh"]], axis=0)),
         (p2["b_ih"] + p2["b_hh"]).astype(f32)[None, :],
-        cast(ffn_w[:Ha2]), cast(ffn_w[Ha2:]),
+        cast(ffn_w),
     )
     return res
 
@@ -391,7 +397,7 @@ def _vjp_bwd(saved, g_cell):
     p2 = stack["dec_l2"]
 
     in_specs = ([vmem(), rsp(Hd), rsp(mw), rsp(mw), rsp(mw), rsp(mcw)]
-                + [vmem()] * 10
+                + [vmem()] * 6
                 + [rsp(4 * Hd)] * 3 + [rsp(Hd)] * 3 + [rsp(Tk)])
     out_specs = (rsp(4 * Hd), rsp(4 * Hd), rsp(4 * Hd), rsp(Tk), rsp(Hd))
     out_shape = (
@@ -414,10 +420,10 @@ def _vjp_bwd(saved, g_cell):
         lens_k.astype(jnp.int32)[:, None],
         g_cell, m0, m1, m2, mctx,
         cast(wk), cast(acous_outputs),
-        cast(p0["w_ih"][E:].T), cast(p0["w_hh"].T),
-        cast(p1["w_ih"].T), cast(p1["w_hh"].T),
-        cast(p2["w_ih"].T), cast(p2["w_hh"].T),
-        cast(ffn_w[:Ha2].T), cast(ffn_w[Ha2:].T),
+        cast(jnp.concatenate([p0["w_ih"][E:], p0["w_hh"]], axis=0).T),
+        cast(jnp.concatenate([p1["w_ih"], p1["w_hh"]], axis=0).T),
+        cast(jnp.concatenate([p2["w_ih"], p2["w_hh"]], axis=0).T),
+        cast(ffn_w.T),
         g0, g1, g2, cp0, cp1, cp2, attn,
     )
 
