@@ -24,8 +24,8 @@ sys.path.insert(0, ROOT)
 
 N_TRAIN = 360
 N_DEV = 48
-EPOCHS_ASR = 30
-EPOCHS_JOINT = 30
+EPOCHS_ASR = 80
+EPOCHS_JOINT = 80
 
 DIMS = dict(
     las_acous_dim=8, las_acous_hidden_size=16, dim_model=32,

@@ -101,10 +101,12 @@ def beam_search(
         import os
 
         from stjep_tpu.ops.decode_flash import flash_supported
+        from stjep_tpu.utils.misc import flash_kernels_disabled
 
-        use_flash = ((jax.default_backend() != "cpu"
-                      and flash_supported(cfg.dim_model))
-                     or os.environ.get("STJEP_FORCE_FLASH") == "1")
+        use_flash = (not flash_kernels_disabled()
+                     and ((jax.default_backend() != "cpu"
+                           and flash_supported(cfg.dim_model))
+                          or os.environ.get("STJEP_FORCE_FLASH") == "1"))
     if use_flash:
         return _beam_search_flash(
             params, cfg, enc_outputs, mem_mask_b, beam_width, penalty_factor,

@@ -294,7 +294,9 @@ def las_decoder_forward(
 
         from stjep_tpu.ops.las_flash import las_flash_supported
 
-        if las_flash_supported(cfg) and (
+        from stjep_tpu.utils.misc import flash_kernels_disabled
+
+        if las_flash_supported(cfg) and not flash_kernels_disabled() and (
             jax.default_backend() != "cpu"
             or os.environ.get("STJEP_FORCE_FLASH") == "1"
         ):
@@ -369,10 +371,13 @@ def las_decoder_forward(
 
         from stjep_tpu.ops.las_tf_flash import las_tf_flash_supported
 
+        from stjep_tpu.utils.misc import flash_kernels_disabled
+
         use_tf_kernel = (
             cfg.num_unilstm_dec == 3
             and cfg.acous_att_mode == "bilinear"
             and las_tf_flash_supported(cfg)
+            and not flash_kernels_disabled()
             and (jax.default_backend() != "cpu"
                  or os.environ.get("STJEP_FORCE_FLASH") == "1")
         )

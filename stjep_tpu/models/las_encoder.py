@@ -92,10 +92,13 @@ def las_encoder_forward(
 
     # the fused kernel pays a large (cached) compile; for toy sizes the XLA
     # scan is already fast, so gate by hidden size
+    from stjep_tpu.utils.misc import flash_kernels_disabled
+
     use_pallas = (
         USE_PALLAS_LSTM
         and jax.default_backend() in ("tpu", "axon")
         and cfg.acous_hidden_size >= 64
+        and not flash_kernels_disabled()
     )
 
     x = acous_feats

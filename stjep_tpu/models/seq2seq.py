@@ -472,10 +472,12 @@ def forward_eval(
         import os
 
         from stjep_tpu.ops.decode_flash import flash_supported
+        from stjep_tpu.utils.misc import flash_kernels_disabled
 
-        use_flash = ((jax.default_backend() != "cpu"
-                      and flash_supported(cfg.dim_model))
-                     or os.environ.get("STJEP_FORCE_FLASH") == "1")
+        use_flash = (not flash_kernels_disabled()
+                     and ((jax.default_backend() != "cpu"
+                           and flash_supported(cfg.dim_model))
+                          or os.environ.get("STJEP_FORCE_FLASH") == "1"))
 
     def _pick(logps, refs):
         # logps [B, L', V] aligned with refs[:, 1:] (the host previously did

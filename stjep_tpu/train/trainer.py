@@ -273,6 +273,13 @@ class Trainer:
 
             self._mesh = make_mesh(n_model=self.n_model)
             self.logger.info("device mesh: %s", dict(self._mesh.shape))
+            # pallas calls carry no SPMD rules: under a sharded mesh the
+            # fused kernels would force operand replication, so fall back
+            # to the (sharding-aware) XLA paths
+            import os
+
+            os.environ["STJEP_NO_FLASH"] = "1"
+            self.logger.info("multi-device mesh: fused Pallas kernels off")
 
     def _place(self, params):
         """Commit params to the mesh's TP/replicated layout (no-op without

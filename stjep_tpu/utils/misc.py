@@ -44,6 +44,18 @@ def root_key(seed: int, impl: str = "auto"):
     return jax.random.key(seed, impl=impl)
 
 
+def flash_kernels_disabled() -> bool:
+    """Global kill-switch for the fused Pallas kernels (STJEP_NO_FLASH=1).
+
+    Pallas calls carry no SPMD partitioning rules, so under a >1-device
+    mesh XLA would replicate their operands; the Trainer sets this when it
+    builds a multi-device mesh and every kernel gate honours it. Also a
+    user escape hatch for debugging."""
+    import os
+
+    return os.environ.get("STJEP_NO_FLASH") == "1"
+
+
 def get_memory_alloc() -> Tuple[float, float, float]:
     """(kb, mb, gb) RSS of this process (ref: utils/misc.py:136-146)."""
     try:
