@@ -230,18 +230,46 @@ def bench_tpu(n_iters: int = 20, train_iters: int = 10, train_repeats: int = 3):
         rates16.append(train_iters / (time.perf_counter() - t0))
     step_bf16_per_s = float(np.median(rates16))
 
+    # ---- batch-32 train step: the LSTM recurrences are latency-bound on
+    # their dependent chains (README analysis), so doubling rows costs far
+    # less than 2x wall time — samples/s demonstrates the headroom recipes
+    # get from a larger per-device minibatch
+    del params16, opt_state16
+    feats32 = jnp.tile(feats, (2, 1, 1))
+    lens32 = jnp.tile(lens, (2,))
+    src32 = jnp.tile(src, (2, 1))
+    tgt32 = jnp.tile(tgt, (2, 1))
+    params32 = init_seq2seq(jax.random.PRNGKey(0), cfg)
+    opt_state32 = set_lr(tx.init(params32), 1e-4)
+    step32 = jax.jit(train_step, donate_argnums=(0, 1))
+    for w in (1, 2):
+        params32, opt_state32, loss = step32(params32, opt_state32, feats32,
+                                             lens32, src32, tgt32, root_key(w))
+        _ = float(loss)
+    rates32 = []
+    for _r in range(train_repeats):
+        t0 = time.perf_counter()
+        for i in range(train_iters):
+            params32, opt_state32, loss = step32(params32, opt_state32,
+                                                 feats32, lens32, src32,
+                                                 tgt32, root_key(i))
+        _ = float(loss)
+        rates32.append(train_iters / (time.perf_counter() - t0))
+    step_b32_per_s = float(np.median(rates32))
+
     flops = analytic_train_flops(cfg, B, b["frames"], b["max_src"],
                                  b["decode_len"])
     mfu = flops * step_per_s / V5E_PEAK_FLOPS
     mfu_bf16 = flops * step_bf16_per_s / V5E_PEAK_FLOPS
+    mfu_b32 = 2 * flops * step_b32_per_s / V5E_PEAK_FLOPS
 
     return (utt_per_s, utt_per_s_bf16, utt_per_s_serving, step_per_s,
-            step_bf16_per_s, mfu, mfu_bf16)
+            step_bf16_per_s, mfu, mfu_bf16, step_b32_per_s, mfu_b32)
 
 
 def main():
     (utt_per_s, utt_per_s_bf16, utt_per_s_serving, step_per_s,
-     step_bf16_per_s, mfu, mfu_bf16) = bench_tpu()
+     step_bf16_per_s, mfu, mfu_bf16, step_b32_per_s, mfu_b32) = bench_tpu()
 
     baseline_path = os.path.join(ROOT, "benchmarks", "reference_baseline.json")
     vs_baseline = None
@@ -263,8 +291,11 @@ def main():
         "train_step_bf16_per_s": round(step_bf16_per_s, 4),
         "beam_decode_bf16_cache_utt_per_s": round(utt_per_s_bf16, 3),
         "beam_decode_serving_b64_utt_per_s": round(utt_per_s_serving, 3),
+        "train_step_b32_per_s": round(step_b32_per_s, 4),
+        "train_b32_samples_per_s": round(32 * step_b32_per_s, 2),
         "mfu": round(mfu, 4),
         "mfu_bf16": round(mfu_bf16, 4),
+        "mfu_b32": round(mfu_b32, 4),
         **extra,
     }
     print(json.dumps(result))

@@ -64,17 +64,25 @@ BLOCK = 16  # max self-cache positions streamed per DMA; Lpad is a multiple
 CROSS_BLOCK = 32  # max memory positions streamed per DMA in cross-attention
 
 
-def stream_blocks(n_rows: int):
-    """Per-call stream block sizes (self, cross): halved for big batches so
-    the kernel's buffers + temporaries stay inside the VMEM budget."""
-    return (BLOCK, CROSS_BLOCK) if n_rows <= 128 else (BLOCK // 2,
-                                                       CROSS_BLOCK // 2)
-# The self kernel's working set (2x double-buffered K/V blocks + flush
-# block + 4 [D,D] weights + selection temporaries) exceeds the compiler's
-# default 16 MB scoped-vmem cap at flagship decode shapes, so the attention
-# kernels raise vmem_limit_bytes (v5e VMEM is far larger than the default
-# cap; only one kernel occupies it at a time during serial decode).
-VMEM_LIMIT = 64 * 1024 * 1024
+def stream_blocks(n_rows: int, d_model: int = 512, itemsize: int = 4):
+    """Per-call stream block sizes (self, cross), chosen against a VMEM
+    byte budget: ~10 [n_rows, blk, D]-sized temporaries (K/V selects,
+    products, probs) live at once in the attention kernels, so big batches
+    halve the block — but bf16 caches keep full-size blocks at serving
+    batch sizes where f32 must shrink."""
+    blk, bs = BLOCK, CROSS_BLOCK
+    budget = 56 * 1024 * 1024
+    while blk > 4 and 10 * n_rows * blk * d_model * itemsize > budget:
+        blk //= 2
+        bs //= 2
+    return blk, bs
+# The self kernel's working set (2x double-buffered K/V blocks + 4 [D,D]
+# weights + selection temporaries) exceeds the compiler's default 16 MB
+# scoped-vmem cap at flagship decode shapes, so the attention kernels raise
+# vmem_limit_bytes (v5e VMEM is 128 MB; only one kernel occupies it at a
+# time during serial decode). 98 MB lets bf16 serving batches keep
+# full-size stream blocks (measured scoped usage ~74 MB at B=64).
+VMEM_LIMIT = 98 * 1024 * 1024
 
 NEG = -1e9  # ops.transformer.ATTN_MASK_FILL
 
@@ -320,7 +328,7 @@ def self_attn_step(
     BK, _, D = x_new.shape
     L = cache_k.shape[2]
     assert cache_k.shape[:2] == (group, BK // group)
-    blk, _ = stream_blocks(BK)
+    blk, _ = stream_blocks(BK, D, jnp.dtype(cache_k.dtype).itemsize)
     assert anc.shape == (L, BK) and mask_k.shape == (L, BK)
     assert L % blk == 0, f"cache length {L} not a multiple of {blk}"
     f32 = jnp.float32
@@ -491,7 +499,7 @@ def cross_attn_step(
     BK, _, D = x_new.shape
     B, Lk, _ = mem_k.shape
     if not bs:
-        _, bs = stream_blocks(BK)
+        _, bs = stream_blocks(BK, D, jnp.dtype(mem_k.dtype).itemsize)
     assert Lk % bs == 0, f"memory length {Lk} not a multiple of {bs}"
     f32 = jnp.float32
     mdt = mem_k.dtype
@@ -611,7 +619,7 @@ def decoder_layer_step_flash(
     BK, _, D = x_new.shape
     L = cache_k.shape[2]
     B, Lk, _ = mem_k.shape
-    blk, bs = stream_blocks(BK)
+    blk, bs = stream_blocks(BK, D, jnp.dtype(cache_k.dtype).itemsize)
     assert cache_k.shape[:2] == (group, B) and BK == B * group
     assert anc.shape == (L, BK) and self_mask_k.shape == (L, BK)
     assert mem_mask.shape == (Lk, B)
