@@ -188,7 +188,8 @@ def test_flash_layer_step_small_blocks(monkeypatch):
 
     outs = []
     for blocks in [(BLOCK, CROSS_BLOCK), (BLOCK // 2, CROSS_BLOCK // 2)]:
-        monkeypatch.setattr(df, "stream_blocks", lambda n, b=blocks: b)
+        monkeypatch.setattr(df, "stream_blocks",
+                            lambda n, d=512, i=4, b=blocks: b)
         fck = jnp.zeros((K, B, L, d_model))
         fcv = jnp.zeros((K, B, L, d_model))
         ys = []
