@@ -66,10 +66,24 @@ def _expand_beam(x: jnp.ndarray, beam_width: int) -> jnp.ndarray:
     return jnp.tile(x[:, None], reps).reshape((B * beam_width,) + x.shape[1:])
 
 
-def _decode_pos(params, cfg, state_tokens, cache, pos, mem_mask, max_time):
-    """Embed token at `pos`, run one KV-cached decoder step, return logp."""
-    from stjep_tpu.models.seq2seq import _embed_tgt_token
+def _decode_pos(params, cfg, state_tokens, cache, pos, mem_mask, max_time,
+                enc_expand=None):
+    """Embed token at `pos`, run one KV-cached decoder step, return logp.
 
+    ACT models (universal + act) re-run the whole causal-masked buffer
+    instead — halting cannot be KV-cached (see seq2seq._needs_full_rerun);
+    matches the reference's prefix re-run (ref: Seq2seq.py:725-729)."""
+    from stjep_tpu.models.seq2seq import (
+        _decode_logits_full,
+        _embed_tgt_token,
+        _needs_full_rerun,
+    )
+
+    if _needs_full_rerun(cfg):
+        logits = _decode_logits_full(
+            params, cfg, state_tokens, enc_expand, mem_mask, pos, max_time)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        return logp, cache
     tok = jax.lax.dynamic_index_in_dim(state_tokens, pos, axis=1, keepdims=False)
     emb = _embed_tgt_token(params, cfg, tok)[:, None, :]
     self_mask_k = state_tokens != PAD
@@ -103,7 +117,10 @@ def beam_search(
         from stjep_tpu.ops.decode_flash import flash_supported
         from stjep_tpu.utils.misc import flash_kernels_disabled
 
+        from stjep_tpu.models.seq2seq import _needs_full_rerun
+
         use_flash = (not flash_kernels_disabled()
+                     and not _needs_full_rerun(cfg)
                      and ((jax.default_backend() != "cpu"
                            and flash_supported(cfg.dim_model))
                           or os.environ.get("STJEP_FORCE_FLASH") == "1"))
@@ -126,7 +143,8 @@ def beam_search(
 
     def topk_step(state: BeamState):
         logp, cache = _decode_pos(
-            params, cfg, state.preds, state.cache, state.i - 1, mem_mask, max_time
+            params, cfg, state.preds, state.cache, state.i - 1, mem_mask,
+            max_time, enc_expand=enc_expand,
         )
         score_k, pred_k = jax.lax.top_k(logp, K)  # [B*K, K]
         return score_k, pred_k.astype(jnp.int32), cache

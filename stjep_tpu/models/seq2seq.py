@@ -305,6 +305,31 @@ def forward_train(
 # --------------------------------------------------------------------------
 
 
+def _needs_full_rerun(cfg: ModelConfig) -> bool:
+    """ACT halting cannot be KV-cached: the halting loop re-applies the
+    shared layer over the whole prefix with per-position halting state
+    (models/act.py), so incremental per-position stepping would skip it.
+    Decode steps for ACT models therefore re-run the full causal-masked
+    buffer — the compiled equivalent of the reference's prefix re-run
+    (ref: Seq2seq.py:577-586)."""
+    return bool(cfg.act) and cfg.transformer_type == "universal"
+
+
+def _decode_logits_full(params, cfg: ModelConfig, tokens, enc_outputs,
+                        mem_mask_b, pos, max_time):
+    """Logits at `pos` by re-running the whole token buffer through the
+    full decoder (causal + pad masks). Causal masking makes slot `pos`
+    independent of the PAD garbage beyond it, and ACT's halting is
+    per-position, so this equals the reference's prefix-only re-run."""
+    tgt_mask, emb = _get_tgt_emb(params, cfg, tokens)
+    src_mask = mem_mask_b[:, None, :] if mem_mask_b is not None else None
+    dec_out, _, _ = tf_decoder_forward(
+        params["dec_tgt"], cfg, emb, enc_outputs, tgt_mask=tgt_mask,
+        src_mask=src_mask, is_training=False, max_time=max_time)
+    out_t = jax.lax.dynamic_index_in_dim(dec_out, pos, axis=1, keepdims=False)
+    return linear(params["out_tgt"], out_t)
+
+
 class _GreedyState(NamedTuple):
     i: jnp.ndarray  # loop position (writes slot i, reads token i-1)
     tokens: jnp.ndarray  # [B, L] emitted prefix; [:,0]=BOS, rest init PAD
@@ -338,18 +363,27 @@ def _greedy_decode(params, cfg: ModelConfig, enc_outputs, mem_mask_b,
     def cond(s: _GreedyState):
         return (s.i < length_out) & (~jnp.all(s.eos_mask))
 
+    full_rerun = _needs_full_rerun(cfg)
+
     def body(s: _GreedyState):
         pos = s.i - 1
-        tok = jax.lax.dynamic_index_in_dim(s.tokens, pos, axis=1, keepdims=False)
-        emb = _embed_tgt_token(params, cfg, tok)[:, None, :]  # [B,1,D]
-        # prefix PAD keys are blocked like the reference's pad_mask over the
-        # re-embedded prefix (ref: Seq2seq.py:579, 202-205)
-        self_mask_k = s.tokens != PAD
-        dec_out, cache = tf_decoder_step(
-            params["dec_tgt"], cfg, emb, s.cache, pos, mem_mask=mem_mask_b,
-            self_mask_k=self_mask_k, max_time=max_time,
-        )
-        logits = linear(params["out_tgt"], dec_out[:, 0])  # [B, V]
+        if full_rerun:
+            logits = _decode_logits_full(
+                params, cfg, s.tokens, enc_outputs, mem_mask_b, pos, max_time)
+            cache = s.cache
+        else:
+            tok = jax.lax.dynamic_index_in_dim(s.tokens, pos, axis=1,
+                                               keepdims=False)
+            emb = _embed_tgt_token(params, cfg, tok)[:, None, :]  # [B,1,D]
+            # prefix PAD keys are blocked like the reference's pad_mask over
+            # the re-embedded prefix (ref: Seq2seq.py:579, 202-205)
+            self_mask_k = s.tokens != PAD
+            dec_out, cache = tf_decoder_step(
+                params["dec_tgt"], cfg, emb, s.cache, pos,
+                mem_mask=mem_mask_b, self_mask_k=self_mask_k,
+                max_time=max_time,
+            )
+            logits = linear(params["out_tgt"], dec_out[:, 0])  # [B, V]
         logp = jax.nn.log_softmax(logits, axis=-1)
         pred = jnp.argmax(logp, axis=-1).astype(jnp.int32)
         tokens = jax.lax.dynamic_update_index_in_dim(s.tokens, pred, s.i, axis=1)
@@ -475,6 +509,7 @@ def forward_eval(
         from stjep_tpu.utils.misc import flash_kernels_disabled
 
         use_flash = (not flash_kernels_disabled()
+                     and not _needs_full_rerun(cfg)
                      and ((jax.default_backend() != "cpu"
                            and flash_supported(cfg.dim_model))
                           or os.environ.get("STJEP_FORCE_FLASH") == "1"))
