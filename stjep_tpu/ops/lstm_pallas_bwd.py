@@ -57,8 +57,11 @@ def _fwd_save_kernel(len_ref, xpf_ref, xpb_ref, whf_ref, whb_ref,
     mm = bf16_dot if fast else f32_dot
 
     def one(xp_ref, wh_ref, out_ref, hs_ref, cs_ref, g_ref, h, c, row, pos):
-        hs_ref[row] = h[:]
-        cs_ref[row] = c[:]
+        # residual streams may be stored bf16 (see _run_fwd_save): halves
+        # the dominant HBM save/replay traffic; carries stay f32 in scratch
+        rdt = hs_ref.dtype
+        hs_ref[row] = h[:].astype(rdt)
+        cs_ref[row] = c[:].astype(rdt)
         pre = xp_ref[row] + mm(h[:], wh_ref[:])
         i = jax.nn.sigmoid(pre[:, 0 * H:1 * H])
         f = jax.nn.sigmoid(pre[:, 1 * H:2 * H])
@@ -69,10 +72,11 @@ def _fwd_save_kernel(len_ref, xpf_ref, xpb_ref, whf_ref, whb_ref,
         valid = lens > pos
         g_ref[row] = jnp.where(
             valid, jnp.concatenate([i, f, g, o], axis=-1),
-            jnp.zeros_like(pre))
+            jnp.zeros_like(pre)).astype(rdt)
         h[:] = jnp.where(valid, h_new, h[:])
         c[:] = jnp.where(valid, c_new, c[:])
-        out_ref[row] = jnp.where(valid, h_new, jnp.zeros_like(h_new))
+        out_ref[row] = jnp.where(
+            valid, h_new, jnp.zeros_like(h_new)).astype(out_ref.dtype)
 
     for u in range(unroll):
         one(xpf_ref, whf_ref, outf_ref, hsf_ref, csf_ref, gf_ref, hf, cf,
@@ -106,12 +110,12 @@ def _bwd_kernel(len_ref, gof_ref, gob_ref, hsf_ref, csf_ref, gf_ref,
 
     def one(go_ref, hs_ref, cs_ref, g_ref, wh_ref, dxp_ref, dh, dc,
             row, pos):
-        gates = g_ref[row]
+        gates = g_ref[row].astype(jnp.float32)
         i = gates[:, 0 * H:1 * H]
         f = gates[:, 1 * H:2 * H]
         g = gates[:, 2 * H:3 * H]
         o = gates[:, 3 * H:4 * H]
-        c_prev = cs_ref[row]
+        c_prev = cs_ref[row].astype(jnp.float32)
         c_t = f * c_prev + i * g
         tanh_c = jnp.tanh(c_t)
         valid = lens > pos
@@ -180,6 +184,7 @@ def _run_fwd_save(params_fwd, params_bwd, x, lengths):
                                        memory_space=pltpu.VMEM)
     rstep_spec = lambda w: pl.BlockSpec((U, B, w), lambda t: (Tb - 1 - t, 0, 0),
                                         memory_space=pltpu.VMEM)
+    rdt = jnp.float32 if _interpret() else jnp.bfloat16
     outs = pl.pallas_call(
         functools.partial(_fwd_save_kernel, unroll=U,
                           fast=not _interpret()),
@@ -196,14 +201,14 @@ def _run_fwd_save(params_fwd, params_bwd, x, lengths):
             rstep_spec(H), rstep_spec(H), rstep_spec(4 * H),  # hs/cs/gates bwd
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((T, B, H), f32),
-            jax.ShapeDtypeStruct((T, B, H), f32),
-            jax.ShapeDtypeStruct((T, B, H), f32),
-            jax.ShapeDtypeStruct((T, B, H), f32),
-            jax.ShapeDtypeStruct((T, B, 4 * H), f32),
-            jax.ShapeDtypeStruct((T, B, H), f32),
-            jax.ShapeDtypeStruct((T, B, H), f32),
-            jax.ShapeDtypeStruct((T, B, 4 * H), f32),
+            jax.ShapeDtypeStruct((T, B, H), x.dtype),
+            jax.ShapeDtypeStruct((T, B, H), x.dtype),
+            jax.ShapeDtypeStruct((T, B, H), rdt),
+            jax.ShapeDtypeStruct((T, B, H), rdt),
+            jax.ShapeDtypeStruct((T, B, 4 * H), rdt),
+            jax.ShapeDtypeStruct((T, B, H), rdt),
+            jax.ShapeDtypeStruct((T, B, H), rdt),
+            jax.ShapeDtypeStruct((T, B, 4 * H), rdt),
         ),
         scratch_shapes=[pltpu.VMEM((B, H), f32)] * 4,
         interpret=_interpret(),
