@@ -91,43 +91,47 @@ def _fwd_kernel(lens_ref, pre0_ref, m0_ref, m1_ref, m2_ref, mctx_ref,
         for r in (h0, c0, h1, c1, h2, c2, cell):
             r[:] = jnp.zeros_like(r)
 
+    # residual streams may be stored bf16 (see _run_fwd): halves the HBM
+    # save/replay traffic; carries stay f32 in scratch
+    rdt = g0_ref.dtype
+
     # ---- layer 0: input = [emb (hoisted into pre0) ; cell_value]
     # recurrent inputs are lane-concatenated so each layer is ONE chained
     # MXU dot ([x ; h] @ [Wi ; Wh]) instead of two — halves the serial
     # matmul chain per step
-    hp0_ref[0] = h0[:]
-    cp0_ref[0] = c0[:]
+    hp0_ref[0] = h0[:].astype(rdt)
+    cp0_ref[0] = c0[:].astype(rdt)
     pre = pre0_ref[0] + _mdot(
         jnp.concatenate([cell[:], h0[:]], axis=-1), w0_ref[:])
     h_new, c_new, gsave = _gates_fwd(pre, c0[:], Hd)
-    g0_ref[0] = gsave
+    g0_ref[0] = gsave.astype(rdt)
     h0[:] = h_new
     c0[:] = c_new
     x1 = h_new * m0_ref[0] if use_masks else h_new
-    in1_ref[0] = x1
+    in1_ref[0] = x1.astype(rdt)
 
     # ---- layer 1 (residual)
-    hp1_ref[0] = h1[:]
-    cp1_ref[0] = c1[:]
+    hp1_ref[0] = h1[:].astype(rdt)
+    cp1_ref[0] = c1[:].astype(rdt)
     pre = _mdot(jnp.concatenate([x1, h1[:]], axis=-1), w1_ref[:]) + b1_ref[:]
     h_new, c_new, gsave = _gates_fwd(pre, c1[:], Hd)
-    g1_ref[0] = gsave
+    g1_ref[0] = gsave.astype(rdt)
     h1[:] = h_new
     c1[:] = c_new
     y1 = h_new + x1
     x2 = y1 * m1_ref[0] if use_masks else y1
-    in2_ref[0] = x2
+    in2_ref[0] = x2.astype(rdt)
 
     # ---- layer 2 (no residual; output is the query)
-    hp2_ref[0] = h2[:]
-    cp2_ref[0] = c2[:]
+    hp2_ref[0] = h2[:].astype(rdt)
+    cp2_ref[0] = c2[:].astype(rdt)
     pre = _mdot(jnp.concatenate([x2, h2[:]], axis=-1), w2_ref[:]) + b2_ref[:]
     h_new, c_new, gsave = _gates_fwd(pre, c2[:], Hd)
-    g2_ref[0] = gsave
+    g2_ref[0] = gsave.astype(rdt)
     h2[:] = h_new
     c2[:] = c_new
     q = h_new * m2_ref[0] if use_masks else h_new
-    q_ref[0] = q
+    q_ref[0] = q.astype(rdt)
 
     # ---- bilinear attention (-1e12 fill, f32 softmax)
     scores = jnp.sum(q[:, None, :] * wk_ref[:].astype(f32), axis=-1)
@@ -136,10 +140,10 @@ def _fwd_kernel(lens_ref, pre0_ref, m0_ref, m1_ref, m2_ref, mctx_ref,
     mx = jnp.max(scores, axis=-1, keepdims=True)
     e = jnp.exp(scores - mx)
     attn = e / jnp.sum(e, axis=-1, keepdims=True)
-    attn_ref[0] = attn
+    attn_ref[0] = attn.astype(rdt)
     ctx = jnp.sum(attn[:, :, None] * val_ref[:].astype(f32), axis=1)
     ctx_m = ctx * mctx_ref[0] if use_masks else ctx
-    ctxm_ref[0] = ctx_m
+    ctxm_ref[0] = ctx_m.astype(rdt)
 
     # ---- FFN -> dynamic embedding (no bias; one [ctx ; q] dot)
     cell_new = _mdot(jnp.concatenate([ctx_m, q], axis=-1), wffn_ref[:])
@@ -180,12 +184,12 @@ def _bwd_kernel(lens_ref, gcell_ref, m0_ref, m1_ref, m2_ref, mctx_ref,
         """One LSTM cell backward. go = dL/dh_t (external); dh/dc carries
         hold the recurrent parts. Returns dpre [B, 4Hd]; updates dh?no —
         caller updates carries from dpre @ w^T."""
-        gates = g_ref[0]
+        gates = g_ref[0].astype(f32)
         i = gates[:, 0 * Hd:1 * Hd]
         f = gates[:, 1 * Hd:2 * Hd]
         g = gates[:, 2 * Hd:3 * Hd]
         o = gates[:, 3 * Hd:4 * Hd]
-        c_prev = cp_ref[0]
+        c_prev = cp_ref[0].astype(f32)
         c_t = f * c_prev + i * g
         tanh_c = jnp.tanh(c_t)
         dh_t = go + dh[:]
@@ -215,7 +219,7 @@ def _bwd_kernel(lens_ref, gcell_ref, m0_ref, m1_ref, m2_ref, mctx_ref,
 
     # ---- attention bwd
     dctx = dctx_m * mctx_ref[0] if use_masks else dctx_m
-    attn = attn_ref[0]
+    attn = attn_ref[0].astype(f32)
     datt = jnp.sum(dctx[:, None, :] * val_ref[:].astype(f32), axis=-1)
     dsc = attn * (datt - jnp.sum(attn * datt, axis=-1, keepdims=True))
     dsc_ref[0] = dsc
@@ -291,15 +295,16 @@ def _run_fwd(stack, att_w, ffn_w, pre0_steps, wk, values, lens_k, masks):
     mcw = 1 if not use_masks else Ha2
     in_specs = [vmem(), sp(4 * Hd, S), sp(mw, S), sp(mw, S), sp(mw, S),
                 sp(mcw, S)] + [vmem()] * 8
+    rdt = f32 if interpret else jnp.bfloat16  # residual-stream dtype
     outs = [
         (sp(Hd, S), jax.ShapeDtypeStruct((S, B, Hd), f32)),     # cell
-        (sp(4 * Hd, S), jax.ShapeDtypeStruct((S, B, 4 * Hd), f32)),  # g0
-        (sp(4 * Hd, S), jax.ShapeDtypeStruct((S, B, 4 * Hd), f32)),  # g1
-        (sp(4 * Hd, S), jax.ShapeDtypeStruct((S, B, 4 * Hd), f32)),  # g2
-    ] + [(sp(Hd, S), jax.ShapeDtypeStruct((S, B, Hd), f32))] * 6  # hp/cp
-    outs += [(sp(Hd, S), jax.ShapeDtypeStruct((S, B, Hd), f32))] * 3  # in1/in2/q
-    outs += [(sp(Tk, S), jax.ShapeDtypeStruct((S, B, Tk), f32))]  # attn
-    outs += [(sp(Ha2, S), jax.ShapeDtypeStruct((S, B, Ha2), f32))]  # ctxm
+        (sp(4 * Hd, S), jax.ShapeDtypeStruct((S, B, 4 * Hd), rdt)),  # g0
+        (sp(4 * Hd, S), jax.ShapeDtypeStruct((S, B, 4 * Hd), rdt)),  # g1
+        (sp(4 * Hd, S), jax.ShapeDtypeStruct((S, B, 4 * Hd), rdt)),  # g2
+    ] + [(sp(Hd, S), jax.ShapeDtypeStruct((S, B, Hd), rdt))] * 6  # hp/cp
+    outs += [(sp(Hd, S), jax.ShapeDtypeStruct((S, B, Hd), rdt))] * 3  # in1/in2/q
+    outs += [(sp(Tk, S), jax.ShapeDtypeStruct((S, B, Tk), rdt))]  # attn
+    outs += [(sp(Ha2, S), jax.ShapeDtypeStruct((S, B, Ha2), rdt))]  # ctxm
 
     p0 = stack["dec_l0"]
     p1 = stack["dec_l1"]
