@@ -51,7 +51,8 @@ def bf16_dot(a, b):
                    preferred_element_type=jnp.float32)
 
 
-def _bilstm_kernel(len_ref, xpf_ref, xpb_ref, whf_ref, whb_ref,
+def _bilstm_kernel(len_ref, xf_ref, xb_ref, wif_ref, wib_ref, bf_ref,
+                   bb_ref, whf_ref, whb_ref,
                    outf_ref, outb_ref, hf, cf, hb, cb, *, unroll, fast):
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -85,9 +86,20 @@ def _bilstm_kernel(len_ref, xpf_ref, xpb_ref, whf_ref, whb_ref,
     whf = whf_ref[:].astype(jnp.bfloat16) if fast else whf_ref[:]
     whb = whb_ref[:].astype(jnp.bfloat16) if fast else whb_ref[:]
 
+    # input projections computed ON-CHIP for the whole block (one batched
+    # MXU matmul per direction, off the recurrent critical path): streaming
+    # the raw [U, B, Din] inputs instead of precomputed [U, B, 4H]
+    # projections cuts the kernel's HBM read traffic up to ~4x and removes
+    # the projections' HBM round-trip entirely
+    U_, B_, Din = xf_ref.shape
+    xp_f = (mm(xf_ref[:].reshape(U_ * B_, Din), wif_ref[:])
+            + bf_ref[:]).reshape(U_, B_, 4 * H)
+    xp_b = (mm(xb_ref[:].reshape(U_ * B_, Din), wib_ref[:])
+            + bb_ref[:]).reshape(U_, B_, 4 * H)
+
     for u in range(unroll):
         # forward direction: position t*U + u
-        pre_f = xpf_ref[u] + mm(hf[:], whf)
+        pre_f = xp_f[u] + mm(hf[:], whf)
         h_new, c_new = step(pre_f, cf[:])
         valid = lens > t * unroll + u  # [B, 1]
         hf[:] = jnp.where(valid, h_new, hf[:])
@@ -96,7 +108,7 @@ def _bilstm_kernel(len_ref, xpf_ref, xpb_ref, whf_ref, whb_ref,
 
         # reverse direction: highest position of block Tb-1-t first
         ub = unroll - 1 - u
-        pre_b = xpb_ref[ub] + mm(hb[:], whb)
+        pre_b = xp_b[ub] + mm(hb[:], whb)
         h_new, c_new = step(pre_b, cb[:])
         valid_b = lens > (Tb - 1 - t) * unroll + ub
         hb[:] = jnp.where(valid_b, h_new, hb[:])
@@ -108,14 +120,10 @@ def _bilstm_pallas_fwd_impl(params_fwd, params_bwd, x, lengths):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    B, T, _ = x.shape
+    B, T, Din = x.shape
     H = params_fwd["w_hh"].shape[0]
 
-    # hoisted input projections (MXU), time-major
-    xp_f = (x @ params_fwd["w_ih"] + params_fwd["b_ih"] + params_fwd["b_hh"])
-    xp_b = (x @ params_bwd["w_ih"] + params_bwd["b_ih"] + params_bwd["b_hh"])
-    xp_f = jnp.swapaxes(xp_f, 0, 1)  # [T, B, 4H]
-    xp_b = jnp.swapaxes(xp_b, 0, 1)
+    xT = jnp.swapaxes(x, 0, 1)  # [T, B, Din] (projections computed in-kernel)
 
     if lengths is None:
         lengths = jnp.full((B,), T, jnp.int32)
@@ -135,10 +143,16 @@ def _bilstm_pallas_fwd_impl(params_fwd, params_bwd, x, lengths):
         grid=grid,
         in_specs=[
             pl.BlockSpec((B, 1), lambda t: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((U, B, 4 * H), lambda t: (t, 0, 0),
+            pl.BlockSpec((U, B, Din), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((U, B, 4 * H), lambda t: (Tb - 1 - t, 0, 0),
+            pl.BlockSpec((U, B, Din), lambda t: (Tb - 1 - t, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((Din, 4 * H), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Din, 4 * H), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4 * H), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4 * H), lambda t: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((H, 4 * H), lambda t: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((H, 4 * H), lambda t: (0, 0), memory_space=pltpu.VMEM),
         ],
@@ -156,7 +170,11 @@ def _bilstm_pallas_fwd_impl(params_fwd, params_bwd, x, lengths):
             pltpu.VMEM((B, H), jnp.float32),
         ],
         interpret=interpret,
-    )(len2d, xp_f, xp_b, params_fwd["w_hh"], params_bwd["w_hh"])
+    )(len2d, xT, xT,
+      params_fwd["w_ih"], params_bwd["w_ih"],
+      (params_fwd["b_ih"] + params_fwd["b_hh"])[None, :],
+      (params_bwd["b_ih"] + params_bwd["b_hh"])[None, :],
+      params_fwd["w_hh"], params_bwd["w_hh"])
 
     out = jnp.concatenate(
         [jnp.swapaxes(out_f, 0, 1), jnp.swapaxes(out_b, 0, 1)], axis=-1

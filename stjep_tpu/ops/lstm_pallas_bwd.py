@@ -28,7 +28,8 @@ import jax
 import jax.numpy as jnp
 
 
-def _fwd_save_kernel(len_ref, xpf_ref, xpb_ref, whf_ref, whb_ref,
+def _fwd_save_kernel(len_ref, xf_ref, xb_ref, wif_ref, wib_ref, bf_ref,
+                     bb_ref, whf_ref, whb_ref,
                      outf_ref, outb_ref, hsf_ref, csf_ref, gf_ref,
                      hsb_ref, csb_ref, gb_ref, hf, cf, hb, cb,
                      *, unroll, fast):
@@ -56,13 +57,23 @@ def _fwd_save_kernel(len_ref, xpf_ref, xpb_ref, whf_ref, whb_ref,
 
     mm = bf16_dot if fast else f32_dot
 
-    def one(xp_ref, wh_ref, out_ref, hs_ref, cs_ref, g_ref, h, c, row, pos):
+    # input projections computed on-chip for the whole block (see
+    # lstm_pallas._bilstm_kernel): raw [U, B, Din] inputs stream instead of
+    # [U, B, 4H] precomputed projections
+    U_, B_, Din = xf_ref.shape
+    H_ = hf.shape[-1]
+    xp_f = (mm(xf_ref[:].reshape(U_ * B_, Din), wif_ref[:])
+            + bf_ref[:]).reshape(U_, B_, 4 * H_)
+    xp_b = (mm(xb_ref[:].reshape(U_ * B_, Din), wib_ref[:])
+            + bb_ref[:]).reshape(U_, B_, 4 * H_)
+
+    def one(xp, wh_ref, out_ref, hs_ref, cs_ref, g_ref, h, c, row, pos):
         # residual streams may be stored bf16 (see _run_fwd_save): halves
         # the dominant HBM save/replay traffic; carries stay f32 in scratch
         rdt = hs_ref.dtype
         hs_ref[row] = h[:].astype(rdt)
         cs_ref[row] = c[:].astype(rdt)
-        pre = xp_ref[row] + mm(h[:], wh_ref[:])
+        pre = xp[row] + mm(h[:], wh_ref[:])
         i = jax.nn.sigmoid(pre[:, 0 * H:1 * H])
         f = jax.nn.sigmoid(pre[:, 1 * H:2 * H])
         g = jnp.tanh(pre[:, 2 * H:3 * H])
@@ -79,10 +90,10 @@ def _fwd_save_kernel(len_ref, xpf_ref, xpb_ref, whf_ref, whb_ref,
             valid, h_new, jnp.zeros_like(h_new)).astype(out_ref.dtype)
 
     for u in range(unroll):
-        one(xpf_ref, whf_ref, outf_ref, hsf_ref, csf_ref, gf_ref, hf, cf,
+        one(xp_f, whf_ref, outf_ref, hsf_ref, csf_ref, gf_ref, hf, cf,
             u, t * unroll + u)
         ub = unroll - 1 - u
-        one(xpb_ref, whb_ref, outb_ref, hsb_ref, csb_ref, gb_ref, hb, cb,
+        one(xp_b, whb_ref, outb_ref, hsb_ref, csb_ref, gb_ref, hb, cb,
             ub, (Tb - 1 - t) * unroll + ub)
 
 
@@ -165,12 +176,9 @@ def _run_fwd_save(params_fwd, params_bwd, x, lengths):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    B, T, _ = x.shape
+    B, T, Din = x.shape
     H = params_fwd["w_hh"].shape[0]
-    xp_f = jnp.swapaxes(
-        x @ params_fwd["w_ih"] + params_fwd["b_ih"] + params_fwd["b_hh"], 0, 1)
-    xp_b = jnp.swapaxes(
-        x @ params_bwd["w_ih"] + params_bwd["b_ih"] + params_bwd["b_hh"], 0, 1)
+    xT = jnp.swapaxes(x, 0, 1)  # [T, B, Din]; projections computed in-kernel
     if lengths is None:
         lengths = jnp.full((B,), T, jnp.int32)
     len2d = lengths.astype(jnp.int32).reshape(B, 1)
@@ -191,7 +199,13 @@ def _run_fwd_save(params_fwd, params_bwd, x, lengths):
         grid=(Tb,),
         in_specs=[
             pl.BlockSpec((B, 1), lambda t: (0, 0), memory_space=pltpu.VMEM),
-            step_spec(4 * H), rstep_spec(4 * H),
+            step_spec(Din), rstep_spec(Din),
+            pl.BlockSpec((Din, 4 * H), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Din, 4 * H), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4 * H), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4 * H), lambda t: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((H, 4 * H), lambda t: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((H, 4 * H), lambda t: (0, 0), memory_space=pltpu.VMEM),
         ],
@@ -212,7 +226,11 @@ def _run_fwd_save(params_fwd, params_bwd, x, lengths):
         ),
         scratch_shapes=[pltpu.VMEM((B, H), f32)] * 4,
         interpret=_interpret(),
-    )(len2d, xp_f, xp_b, params_fwd["w_hh"], params_bwd["w_hh"])
+    )(len2d, xT, xT,
+      params_fwd["w_ih"], params_bwd["w_ih"],
+      (params_fwd["b_ih"] + params_fwd["b_hh"])[None, :],
+      (params_bwd["b_ih"] + params_bwd["b_hh"])[None, :],
+      params_fwd["w_hh"], params_bwd["w_hh"])
     (out_f, out_b, hs_f, cs_f, g_f, hs_b, cs_b, g_b) = outs
     out = jnp.concatenate(
         [jnp.swapaxes(out_f, 0, 1), jnp.swapaxes(out_b, 0, 1)], axis=-1)
