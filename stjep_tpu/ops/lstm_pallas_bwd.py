@@ -144,7 +144,7 @@ def _bwd_kernel(len_ref, gof_ref, gob_ref, hsf_ref, csf_ref, gf_ref,
             do * o * (1.0 - o),
         ], axis=-1)
         dpre = jnp.where(valid, dpre, jnp.zeros_like(dpre))
-        dxp_ref[row] = dpre
+        dxp_ref[row] = dpre.astype(dxp_ref.dtype)
         # dW_hh accumulation moved OUT of the kernel (one big MXU matmul
         # over the dxp stream and the saved h carries) — it was a second
         # chained matmul on every step of the serial critical path
@@ -273,6 +273,7 @@ def _tr_bwd(res, g_out):
     bpos = lambda w: pl.BlockSpec((U, B, w), lambda t: (t, 0, 0),
                                   memory_space=pltpu.VMEM)
     wspec = pl.BlockSpec((H, 4 * H), lambda t: (0, 0), memory_space=pltpu.VMEM)
+    rdt = f32 if _interpret() else jnp.bfloat16
     (dxp_f, dxp_b) = pl.pallas_call(
         functools.partial(_bwd_kernel, unroll=U, fast=not _interpret()),
         grid=(Tb,),
@@ -285,8 +286,8 @@ def _tr_bwd(res, g_out):
         ],
         out_specs=(fpos(4 * H), bpos(4 * H)),
         out_shape=(
-            jax.ShapeDtypeStruct((T, B, 4 * H), f32),
-            jax.ShapeDtypeStruct((T, B, 4 * H), f32),
+            jax.ShapeDtypeStruct((T, B, 4 * H), rdt),
+            jax.ShapeDtypeStruct((T, B, 4 * H), rdt),
         ),
         scratch_shapes=[pltpu.VMEM((B, H), f32)] * 4,
         interpret=_interpret(),
@@ -294,8 +295,13 @@ def _tr_bwd(res, g_out):
       params_fwd["w_hh"], params_bwd["w_hh"])
 
     # dW_hh = h_prev^T dpre, one MXU matmul over the whole stream per dir
-    dwh_f = hs_f.reshape(-1, H).T @ dxp_f.reshape(-1, 4 * H)
-    dwh_b = hs_b.reshape(-1, H).T @ dxp_b.reshape(-1, 4 * H)
+    # (streams may be bf16; accumulate f32 explicitly)
+    dwh_f = jnp.einsum("th,tf->hf", hs_f.reshape(-1, H),
+                       dxp_f.reshape(-1, 4 * H),
+                       preferred_element_type=f32)
+    dwh_b = jnp.einsum("th,tf->hf", hs_b.reshape(-1, H),
+                       dxp_b.reshape(-1, 4 * H),
+                       preferred_element_type=f32)
 
     dxp_f = jnp.swapaxes(dxp_f, 0, 1)  # [B, T, 4H]
     dxp_b = jnp.swapaxes(dxp_b, 0, 1)
@@ -303,9 +309,10 @@ def _tr_bwd(res, g_out):
     def input_grads(p, dxp):
         flat_x = x.reshape(-1, x.shape[-1])
         flat_d = dxp.reshape(-1, 4 * H)
-        db = jnp.sum(flat_d, axis=0)
+        db = jnp.sum(flat_d.astype(f32), axis=0)
         return {
-            "w_ih": flat_x.T @ flat_d,
+            "w_ih": jnp.einsum("td,tf->df", flat_x, flat_d,
+                               preferred_element_type=f32),
             "w_hh": None,  # filled below
             "b_ih": db,
             "b_hh": db,
@@ -315,7 +322,10 @@ def _tr_bwd(res, g_out):
     d_pf["w_hh"] = dwh_f
     d_pb = input_grads(params_bwd, dxp_b)
     d_pb["w_hh"] = dwh_b
-    d_x = dxp_f @ params_fwd["w_ih"].T + dxp_b @ params_bwd["w_ih"].T
+    d_x = (jnp.einsum("btf,df->btd", dxp_f, params_fwd["w_ih"],
+                      preferred_element_type=f32)
+           + jnp.einsum("btf,df->btd", dxp_b, params_bwd["w_ih"],
+                        preferred_element_type=f32)).astype(x.dtype)
     return d_pf, d_pb, d_x, None
 
 
