@@ -115,11 +115,15 @@ def beam_search(
         import os
 
         from stjep_tpu.ops.decode_flash import flash_supported
+        from stjep_tpu.parallel.spmd import kernel_mesh
         from stjep_tpu.utils.misc import flash_kernels_disabled
 
         from stjep_tpu.models.seq2seq import _needs_full_rerun
 
+        # decode_flash reads the TP-sharded transformer weights, so it has
+        # no shard_map form yet (parallel/spmd.py) — dense XLA under a mesh
         use_flash = (not flash_kernels_disabled()
+                     and kernel_mesh() is None
                      and not _needs_full_rerun(cfg)
                      and ((jax.default_backend() != "cpu"
                            and flash_supported(cfg.dim_model))

@@ -300,7 +300,7 @@ def las_decoder_forward(
             jax.default_backend() != "cpu"
             or os.environ.get("STJEP_FORCE_FLASH") == "1"
         ):
-            from stjep_tpu.ops.las_flash import las_greedy_flash
+            from stjep_tpu.parallel.spmd import las_greedy_flash_dp
 
             lens_k = (lens8 if acous_lens is not None
                       else jnp.full((B,), Tk, jnp.int32))
@@ -310,7 +310,7 @@ def las_decoder_forward(
                 # shares the output-slot alignment of the logps buffer
                 r = ref_tokens[:, : L - 1]
                 refs = jnp.pad(r, ((0, 0), (0, L - 1 - r.shape[1])))
-            embs, preds, picked = las_greedy_flash(
+            embs, preds, picked = las_greedy_flash_dp(
                 params, cfg, pre_keys["wk"], acous_outputs, lens_k,
                 tgt[:, 0], L - 1, ref_tokens=refs,
             )
@@ -385,12 +385,12 @@ def las_decoder_forward(
             # fused Pallas scan with a fused reverse-time backward
             # (ops/las_tf_flash.py) — differentiable via custom_vjp, so the
             # training path uses it too
-            from stjep_tpu.ops.las_tf_flash import las_tf_scan
+            from stjep_tpu.parallel.spmd import las_tf_scan_dp
 
             stack = {k: params[k] for k in ("dec_l0", "dec_l1", "dec_l2")}
             lens_k = (lens8 if acous_lens is not None
                       else jnp.full((B,), Tk, jnp.int32))
-            embs = las_tf_scan(
+            embs = las_tf_scan_dp(
                 stack, params["acous_att"]["linear_att_w"]["w"],
                 params["acous_ffn"]["w"], pre0_steps, acous_outputs,
                 lens_k, step_masks)

@@ -92,11 +92,14 @@ def las_encoder_forward(
 
     # the fused kernel pays a large (cached) compile; for toy sizes the XLA
     # scan is already fast, so gate by hidden size
+    import os
+
     from stjep_tpu.utils.misc import flash_kernels_disabled
 
     use_pallas = (
         USE_PALLAS_LSTM
-        and jax.default_backend() in ("tpu", "axon")
+        and (jax.default_backend() in ("tpu", "axon")
+             or os.environ.get("STJEP_FORCE_FLASH") == "1")
         and cfg.acous_hidden_size >= 64
         and not flash_kernels_disabled()
     )
@@ -108,12 +111,15 @@ def las_encoder_forward(
         p = params[f"acous_enc_l{i + 1}"]
         if use_pallas and is_training:
             from stjep_tpu.ops.lstm_pallas_bwd import bilstm_pallas_trainable
+            from stjep_tpu.parallel.spmd import bilstm_dp
 
-            out = bilstm_pallas_trainable(p["fwd"], p["bwd"], x, cur_lens)
+            out = bilstm_dp(bilstm_pallas_trainable, p["fwd"], p["bwd"], x,
+                            cur_lens)
         elif use_pallas:
             from stjep_tpu.ops.lstm_pallas import bilstm_pallas
+            from stjep_tpu.parallel.spmd import bilstm_dp
 
-            out = bilstm_pallas(p["fwd"], p["bwd"], x, cur_lens)
+            out = bilstm_dp(bilstm_pallas, p["fwd"], p["bwd"], x, cur_lens)
         else:
             out = bilstm(p["fwd"], p["bwd"], x, lengths=cur_lens)
         if is_training and cfg.dropout > 0.0:

@@ -1,0 +1,132 @@
+"""SPMD dispatch for the fused Pallas kernels under multi-device meshes.
+
+pallas_call carries no SPMD partitioning rules: under a >1-device mesh,
+XLA's partitioner replicates a pallas custom call's operands and runs the
+whole kernel on every device — correct but O(n_devices) wasted work.
+Round 2 therefore simply disabled the fused kernels whenever a mesh was
+active (STJEP_NO_FLASH). This module replaces that cliff with the
+idiomatic TPU form: every LAS kernel is batch-parallel with replicated
+weights, so each kernel call is wrapped in `jax.shard_map` over the
+mesh's 'data' axis — each shard runs the kernel on its local batch slice,
+and shard_map's transpose automatically psums the replicated weight
+cotangents across shards (pinned by tests/test_spmd_kernels.py against
+the single-device kernels and the dense XLA path).
+
+The active mesh is process-global state set by the Trainer/CLIs
+(`set_kernel_mesh`); model code stays pure — the wrappers close over the
+mesh at trace time, and fall through to the plain kernel call when no
+mesh is active or the batch does not divide the data axis (XLA then
+replicates: slow but correct, and only reachable for ragged eval tails).
+
+The transformer-side decode kernels (ops/decode_flash.py) are NOT yet
+shard_map-wrapped: their weights are the TP-sharded transformer params,
+so a correct SPMD form needs model-axis collectives inside the kernel
+schedule. Their call sites gate off when a kernel mesh is active and use
+the sharding-aware dense XLA path instead.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+from jax.sharding import Mesh, PartitionSpec as P
+
+from stjep_tpu.parallel.mesh import DATA_AXIS
+
+_KERNEL_MESH: Optional[Mesh] = None
+
+
+def set_kernel_mesh(mesh: Optional[Mesh]):
+    """Install (or clear) the mesh the fused kernels shard over."""
+    global _KERNEL_MESH
+    _KERNEL_MESH = mesh
+
+
+def kernel_mesh() -> Optional[Mesh]:
+    return _KERNEL_MESH
+
+
+def _n_data(mesh: Mesh) -> int:
+    return mesh.shape[DATA_AXIS]
+
+
+def _rep(tree):
+    """Replicated spec for a whole (weight) pytree."""
+    return jax.tree_util.tree_map(lambda _: P(), tree)
+
+
+def _b(ndim: int, axis: int) -> P:
+    """Spec with the batch dim on 'data' and everything else replicated."""
+    return P(*[DATA_AXIS if i == axis else None for i in range(ndim)])
+
+
+def _smap(fn, mesh, in_specs, out_specs):
+    return jax.shard_map(fn, mesh=mesh, in_specs=in_specs,
+                         out_specs=out_specs, check_vma=False)
+
+
+# ---------------------------------------------------------------------------
+# BiLSTM pyramid kernels (ops/lstm_pallas.py, ops/lstm_pallas_bwd.py)
+# ---------------------------------------------------------------------------
+
+def bilstm_dp(kernel_fn, params_fwd, params_bwd, x, lengths):
+    """`kernel_fn(pf, pb, x [B,T,D], lens [B]) -> [B,T,2H]`, sharded on B."""
+    mesh = kernel_mesh()
+    if mesh is None or x.shape[0] % _n_data(mesh) != 0:
+        return kernel_fn(params_fwd, params_bwd, x, lengths)
+    fn = _smap(kernel_fn, mesh,
+               (_rep(params_fwd), _rep(params_bwd), _b(3, 0), _b(1, 0)),
+               _b(3, 0))
+    return fn(params_fwd, params_bwd, x, lengths)
+
+
+# ---------------------------------------------------------------------------
+# Teacher-forced LAS decoder scan (ops/las_tf_flash.py)
+# ---------------------------------------------------------------------------
+
+def las_tf_scan_dp(stack, att_w, ffn_w, pre0_steps, acous_outputs, lens_k,
+                   masks):
+    """Time-major fused TF decoder scan, sharded on the batch axis.
+
+    pre0_steps [S,B,4Hd] (batch axis 1), acous_outputs [B,Tk,Ha2],
+    masks (lstm_m [S,n,B,Hd], ctx_m [S,B,1,Ha2]) or None; out [S,B,Hs]."""
+    from stjep_tpu.ops.las_tf_flash import las_tf_scan
+
+    mesh = kernel_mesh()
+    if mesh is None or acous_outputs.shape[0] % _n_data(mesh) != 0:
+        return las_tf_scan(stack, att_w, ffn_w, pre0_steps, acous_outputs,
+                           lens_k, masks)
+    mask_specs = P() if masks is None else (_b(4, 2), _b(4, 1))
+    fn = _smap(las_tf_scan, mesh,
+               (_rep(stack), P(), P(), _b(3, 1), _b(3, 0), _b(1, 0),
+                mask_specs),
+               _b(3, 1))
+    return fn(stack, att_w, ffn_w, pre0_steps, acous_outputs, lens_k, masks)
+
+
+# ---------------------------------------------------------------------------
+# Free-running LAS greedy decode (ops/las_flash.py) — eval only
+# ---------------------------------------------------------------------------
+
+def las_greedy_flash_dp(params, cfg, wk, att_values, lens_k, sym0, n_steps,
+                        ref_tokens=None):
+    """Fused free-running decode, sharded on the batch axis. Returns
+    (embs [B,S,Hs], preds [B,S], picked [B,S])."""
+    from stjep_tpu.ops.las_flash import las_greedy_flash
+
+    mesh = kernel_mesh()
+    if mesh is None or wk.shape[0] % _n_data(mesh) != 0:
+        return las_greedy_flash(params, cfg, wk, att_values, lens_k, sym0,
+                                n_steps, ref_tokens=ref_tokens)
+
+    def inner(p, wk_, av, lk, s0, refs):
+        return las_greedy_flash(p, cfg, wk_, av, lk, s0, n_steps,
+                                ref_tokens=refs)
+
+    refs_spec = P() if ref_tokens is None else _b(2, 0)
+    fn = _smap(inner, mesh,
+               (_rep(params), _b(3, 0), _b(3, 0), _b(1, 0), _b(1, 0),
+                refs_spec),
+               (_b(3, 0), _b(2, 0), _b(2, 0)))
+    return fn(params, wk, att_values, lens_k, sym0, ref_tokens)

@@ -273,13 +273,15 @@ class Trainer:
 
             self._mesh = make_mesh(n_model=self.n_model)
             self.logger.info("device mesh: %s", dict(self._mesh.shape))
-            # pallas calls carry no SPMD rules: under a sharded mesh the
-            # fused kernels would force operand replication, so fall back
-            # to the (sharding-aware) XLA paths
-            import os
+            # the LAS kernels dispatch through shard_map over 'data' when a
+            # kernel mesh is installed (parallel/spmd.py); the transformer
+            # decode kernels gate themselves off and use the sharding-aware
+            # dense XLA path
+            from stjep_tpu.parallel.spmd import set_kernel_mesh
 
-            os.environ["STJEP_NO_FLASH"] = "1"
-            self.logger.info("multi-device mesh: fused Pallas kernels off")
+            set_kernel_mesh(self._mesh)
+            self.logger.info(
+                "multi-device mesh: LAS kernels via shard_map over 'data'")
 
     def _place(self, params):
         """Commit params to the mesh's TP/replicated layout (no-op without

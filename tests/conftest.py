@@ -28,3 +28,13 @@ import pytest  # noqa: E402
 @pytest.fixture(autouse=True)
 def _seed():
     np.random.seed(0)
+
+
+@pytest.fixture(autouse=True)
+def _reset_kernel_mesh():
+    """The Trainer installs a process-global kernel mesh (parallel/spmd.py);
+    clear it so mesh tests don't leak into later tests."""
+    yield
+    from stjep_tpu.parallel.spmd import set_kernel_mesh
+
+    set_kernel_mesh(None)
