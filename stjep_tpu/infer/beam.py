@@ -115,21 +115,23 @@ def beam_search(
         import os
 
         from stjep_tpu.ops.decode_flash import flash_supported
-        from stjep_tpu.parallel.spmd import kernel_mesh
+        from stjep_tpu.parallel.spmd import dp_only_mesh, kernel_mesh
         from stjep_tpu.utils.misc import flash_kernels_disabled
 
         from stjep_tpu.models.seq2seq import _needs_full_rerun
 
-        # decode_flash reads the TP-sharded transformer weights, so it has
-        # no shard_map form yet (parallel/spmd.py) — dense XLA under a mesh
+        # decode_flash reads the transformer weights: batch shard_map under
+        # a pure-DP mesh (parallel/spmd.py), dense XLA under a TP mesh
         use_flash = (not flash_kernels_disabled()
-                     and kernel_mesh() is None
+                     and (kernel_mesh() is None or dp_only_mesh())
                      and not _needs_full_rerun(cfg)
                      and ((jax.default_backend() != "cpu"
                            and flash_supported(cfg.dim_model))
                           or os.environ.get("STJEP_FORCE_FLASH") == "1"))
     if use_flash:
-        return _beam_search_flash(
+        from stjep_tpu.parallel.spmd import beam_search_flash_dp
+
+        return beam_search_flash_dp(
             params, cfg, enc_outputs, mem_mask_b, beam_width, penalty_factor,
             max_seq_len, cache_dtype=cache_dtype)
     B = enc_outputs.shape[0]

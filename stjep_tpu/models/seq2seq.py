@@ -506,13 +506,13 @@ def forward_eval(
         import os
 
         from stjep_tpu.ops.decode_flash import flash_supported
-        from stjep_tpu.parallel.spmd import kernel_mesh
+        from stjep_tpu.parallel.spmd import dp_only_mesh, kernel_mesh
         from stjep_tpu.utils.misc import flash_kernels_disabled
 
-        # decode_flash reads the TP-sharded transformer weights, so it has
-        # no shard_map form yet (parallel/spmd.py) — dense XLA under a mesh
+        # decode_flash reads the transformer weights: batch shard_map under
+        # a pure-DP mesh (parallel/spmd.py), dense XLA under a TP mesh
         use_flash = (not flash_kernels_disabled()
-                     and kernel_mesh() is None
+                     and (kernel_mesh() is None or dp_only_mesh())
                      and not _needs_full_rerun(cfg)
                      and ((jax.default_backend() != "cpu"
                            and flash_supported(cfg.dim_model))
@@ -582,7 +582,9 @@ def forward_eval(
         enc_out = _encoder_en(params, cfg, emb_src, src_mask=src_mask_input)
         out["emb_mt"] = emb_src
         if ref_tgt is not None and use_flash:
-            preds, picked = _greedy_decode_flash(
+            from stjep_tpu.parallel.spmd import greedy_decode_flash_dp
+
+            preds, picked = greedy_decode_flash_dp(
                 params, cfg, enc_out, src_mask_input[:, 0, :], length_out_tgt,
                 max_time, ref_tgt)
             out["preds_mt"] = preds
@@ -615,7 +617,9 @@ def forward_eval(
         enc_out = _encoder_en(params, cfg, emb_src, src_mask=src_mask_input)
         out["emb_st"] = emb_src
         if ref_tgt is not None and use_flash:
-            preds, picked = _greedy_decode_flash(
+            from stjep_tpu.parallel.spmd import greedy_decode_flash_dp
+
+            preds, picked = greedy_decode_flash_dp(
                 params, cfg, enc_out, src_mask_input[:, 0, :], length_out_tgt,
                 max_time, ref_tgt)
             out["preds_st"] = preds

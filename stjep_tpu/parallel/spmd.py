@@ -18,11 +18,13 @@ mesh at trace time, and fall through to the plain kernel call when no
 mesh is active or the batch does not divide the data axis (XLA then
 replicates: slow but correct, and only reachable for ragged eval tails).
 
-The transformer-side decode kernels (ops/decode_flash.py) are NOT yet
-shard_map-wrapped: their weights are the TP-sharded transformer params,
-so a correct SPMD form needs model-axis collectives inside the kernel
-schedule. Their call sites gate off when a kernel mesh is active and use
-the sharding-aware dense XLA path instead.
+The transformer-side decode kernels (ops/decode_flash.py) read the
+transformer weights, which are only replicated under a pure-DP mesh
+(n_model == 1): there they dispatch through the same batch shard_map
+(`greedy_decode_flash_dp`, `beam_search_flash_dp`). Under a TP mesh
+(n_model > 1) a correct SPMD form would need model-axis collectives
+inside the kernel schedule, so their call sites gate off and use the
+sharding-aware dense XLA path instead.
 """
 
 from __future__ import annotations
@@ -45,6 +47,16 @@ def set_kernel_mesh(mesh: Optional[Mesh]):
 
 def kernel_mesh() -> Optional[Mesh]:
     return _KERNEL_MESH
+
+
+def dp_only_mesh() -> bool:
+    """True when the active mesh has no model-parallel axis (n_model == 1),
+    i.e. every parameter is replicated and batch shard_map is valid for
+    kernels that read transformer weights."""
+    from stjep_tpu.parallel.mesh import MODEL_AXIS
+
+    mesh = kernel_mesh()
+    return mesh is not None and dict(mesh.shape).get(MODEL_AXIS, 1) == 1
 
 
 def _n_data(mesh: Mesh) -> int:
@@ -130,3 +142,55 @@ def las_greedy_flash_dp(params, cfg, wk, att_values, lens_k, sym0, n_steps,
                 refs_spec),
                (_b(3, 0), _b(2, 0), _b(2, 0)))
     return fn(params, wk, att_values, lens_k, sym0, ref_tokens)
+
+
+# ---------------------------------------------------------------------------
+# Transformer decode kernels (ops/decode_flash.py) — pure-DP meshes only
+# ---------------------------------------------------------------------------
+
+def greedy_decode_flash_dp(params, cfg, enc_outputs, mem_mask_b, length_out,
+                           max_time, ref_tokens):
+    """KV-cached fused greedy decode, sharded on the batch axis. Only valid
+    when the transformer weights are replicated (pure-DP mesh); callers
+    gate TP meshes onto the dense XLA path. Per-shard all-EOS early exit
+    matches the reference's per-(sub)batch exit semantics."""
+    from stjep_tpu.models.seq2seq import _greedy_decode_flash
+
+    mesh = kernel_mesh()
+    if mesh is None or enc_outputs.shape[0] % _n_data(mesh) != 0:
+        return _greedy_decode_flash(params, cfg, enc_outputs, mem_mask_b,
+                                    length_out, max_time, ref_tokens)
+
+    def inner(p, enc, mm, refs):
+        return _greedy_decode_flash(p, cfg, enc, mm, length_out, max_time,
+                                    refs)
+
+    mm_spec = P() if mem_mask_b is None else _b(2, 0)
+    fn = _smap(inner, mesh,
+               (_rep(params), _b(3, 0), mm_spec, _b(2, 0)),
+               (_b(2, 0), _b(2, 0)))
+    return fn(params, enc_outputs, mem_mask_b, ref_tokens)
+
+
+def beam_search_flash_dp(params, cfg, enc_outputs, mem_mask_b, beam_width,
+                         penalty_factor, max_seq_len, cache_dtype=None):
+    """Fused beam search, sharded on the utterance axis (pure-DP mesh
+    only — see greedy_decode_flash_dp)."""
+    from stjep_tpu.infer.beam import _beam_search_flash
+
+    mesh = kernel_mesh()
+    if mesh is None or enc_outputs.shape[0] % _n_data(mesh) != 0:
+        return _beam_search_flash(params, cfg, enc_outputs, mem_mask_b,
+                                  beam_width, penalty_factor, max_seq_len,
+                                  cache_dtype=cache_dtype)
+
+    def inner(p, enc, mm):
+        return _beam_search_flash(p, cfg, enc, mm, beam_width,
+                                  penalty_factor, max_seq_len,
+                                  cache_dtype=cache_dtype)
+
+    mm_spec = P() if mem_mask_b is None else _b(2, 0)
+    fn = _smap(inner, mesh,
+               (_rep(params), _b(3, 0), mm_spec),
+               (_b(2, 0), _b(1, 0)))
+    return fn(params, enc_outputs, mem_mask_b)

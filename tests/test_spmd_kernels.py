@@ -169,6 +169,94 @@ def test_eval_greedy_on_mesh_matches_single_device(force_flash):
                                rtol=1e-4, atol=1e-5)
 
 
+def _mask_after_eos(preds):
+    """Slots after a row's first EOS depend on when the whole (sub)batch
+    exits the decode loop — a batch-composition effect, not model output.
+    Zero them before comparing across batch partitionings."""
+    from stjep_tpu.config import EOS
+
+    p = np.asarray(preds).copy()
+    for r in p:
+        hit = np.where(r == EOS)[0]
+        if hit.size:
+            r[hit[0] + 1:] = 0
+    return p
+
+
+def test_mt_greedy_decode_flash_on_dp_mesh(force_flash):
+    """KV-cached fused transformer greedy decode under a pure-DP (8, 1)
+    mesh (greedy_decode_flash_dp) vs single device."""
+    cfg = ModelConfig(
+        enc_vocab_size=24, dec_vocab_size=20, enc_embedding_size=8,
+        dec_embedding_size=16, acous_dim=8, acous_hidden_size=64,
+        dim_model=128, dim_feedforward=64, num_heads=4, enc_layers=1,
+        dec_layers=1, num_unilstm_dec=3, spec_aug=False, dropout=0.0,
+        max_seq_len_src=10, max_seq_len_tgt=12, mode="MT",
+    )
+    params = init_seq2seq(jax.random.PRNGKey(0), cfg)
+    rng = np.random.RandomState(3)
+    B = 8
+    src = jnp.asarray(rng.randint(
+        5, cfg.enc_vocab_size, size=(B, cfg.max_seq_len_src)).astype(np.int32))
+    src = src.at[:, 0].set(BOS)
+    tgt = jnp.asarray(rng.randint(
+        5, cfg.dec_vocab_size, size=(B, cfg.max_seq_len_tgt)).astype(np.int32))
+    tgt = tgt.at[:, 0].set(BOS)
+
+    def run(params):
+        out = forward_eval(params, cfg, "MT", src=src, ref_tgt=tgt)
+        return out["preds_mt"], out["picked_mt"]
+
+    preds_s, picked_s = jax.jit(run)(params)
+    set_kernel_mesh(make_mesh(n_data=8, n_model=1))
+    preds_m, picked_m = jax.jit(run)(params)
+
+    np.testing.assert_array_equal(_mask_after_eos(preds_m),
+                                  _mask_after_eos(preds_s))
+    np.testing.assert_allclose(np.asarray(picked_m), np.asarray(picked_s),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_beam_search_flash_on_dp_mesh(force_flash):
+    """Fused beam search under a pure-DP (8, 1) mesh (beam_search_flash_dp)
+    vs single device; a TP mesh must gate off the kernels but still match."""
+    from stjep_tpu.infer.beam import beam_search
+
+    cfg = ModelConfig(
+        enc_vocab_size=24, dec_vocab_size=20, enc_embedding_size=8,
+        dec_embedding_size=16, acous_dim=8, acous_hidden_size=64,
+        dim_model=128, dim_feedforward=64, num_heads=4, enc_layers=1,
+        dec_layers=1, num_unilstm_dec=3, spec_aug=False, dropout=0.0,
+        max_seq_len_src=10, max_seq_len_tgt=12, mode="MT",
+    )
+    params = init_seq2seq(jax.random.PRNGKey(0), cfg)
+    rng = np.random.RandomState(4)
+    B, Lk = 8, 8
+    enc = jnp.asarray(rng.randn(B, Lk, cfg.dim_model).astype(np.float32))
+    mem = jnp.asarray(rng.rand(B, Lk) > 0.2)
+
+    def run(params):
+        return beam_search(params, cfg, enc, mem, beam_width=2,
+                           penalty_factor=1.0, max_seq_len=10)
+
+    preds_s, scores_s = jax.jit(run)(params)
+    set_kernel_mesh(make_mesh(n_data=8, n_model=1))
+    preds_m, scores_m = jax.jit(run)(params)
+
+    np.testing.assert_array_equal(_mask_after_eos(preds_m),
+                                  _mask_after_eos(preds_s))
+    np.testing.assert_allclose(np.asarray(scores_m), np.asarray(scores_s),
+                               rtol=1e-4, atol=1e-5)
+
+    # TP mesh: kernels off, dense XLA path, still correct
+    set_kernel_mesh(make_mesh(n_data=4, n_model=2))
+    preds_tp, scores_tp = jax.jit(run)(params)
+    np.testing.assert_array_equal(_mask_after_eos(preds_tp),
+                                  _mask_after_eos(preds_s))
+    np.testing.assert_allclose(np.asarray(scores_tp), np.asarray(scores_s),
+                               rtol=1e-4, atol=1e-5)
+
+
 def test_non_divisible_batch_falls_through(force_flash):
     """B=6 does not divide the 4-wide data axis: the wrapper must fall back
     to the plain kernel call and still be correct."""
