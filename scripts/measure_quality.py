@@ -10,7 +10,19 @@ joint ASR_ST) runs through the real CLIs, then dev-set quality is measured
 from beam decodes: ASR WER + ST BLEU. Results land in
 benchmarks/quality_synthetic.json for BASELINE.md.
 
-Usage: python scripts/measure_quality.py [workdir]
+Usage: python scripts/measure_quality.py [workdir] [dtype] [profile]
+
+dtype (float32 default | bfloat16) is passed to the training stages'
+--dtype flag; bfloat16 results land in quality_synthetic_bf16.json —
+the loss-scale-free bf16 validation ROADMAP "Next" asks for before
+making bf16 the recipe default.
+
+profile 'tiny' (default) is the CPU-runnable config; profile 'kernel'
+sizes the model to pass every fused-Pallas support gate (dim_model 128,
+acous_hidden 64) so a run on the real TPU drives the whole staged recipe
+— checkpointing, load modes, rollback control — through the fused
+kernel training and decode paths; results land in
+quality_synthetic_<profile>[_bf16].json.
 """
 
 import json
@@ -27,12 +39,34 @@ N_DEV = 48
 EPOCHS_ASR = 80
 EPOCHS_JOINT = 80
 
-DIMS = dict(
-    las_acous_dim=8, las_acous_hidden_size=16, dim_model=32,
-    dim_feedforward=64, num_heads=4, enc_layers=2, dec_layers=2,
-    embedding_size_enc=16, embedding_size_dec=32,
-    max_seq_len_src=10, max_seq_len_tgt=24,
-)
+PROFILES = {
+    # CPU-runnable tiny config (the round-2 quality gate)
+    "tiny": dict(
+        las_acous_dim=8, las_acous_hidden_size=16, dim_model=32,
+        dim_feedforward=64, num_heads=4, enc_layers=2, dec_layers=2,
+        embedding_size_enc=16, embedding_size_dec=32,
+        max_seq_len_src=10, max_seq_len_tgt=24,
+    ),
+    # smallest config that passes every fused-kernel support gate
+    # (ops/las_tf_flash.las_tf_flash_supported, las_flash, decode_flash):
+    # run on the real TPU to drive the recipe through the kernel paths
+    "kernel": dict(
+        las_acous_dim=8, las_acous_hidden_size=64, dim_model=128,
+        dim_feedforward=256, num_heads=4, enc_layers=2, dec_layers=2,
+        embedding_size_enc=16, embedding_size_dec=32,
+        max_seq_len_src=10, max_seq_len_tgt=24,
+    ),
+}
+DIMS = PROFILES["tiny"]
+
+# joint-stage overrides: the dim-128 kernel profile plateaus at the tiny
+# profile's LR 0.003 (measured IDENTICALLY with kernels on and off — a
+# hyperparameter effect, not a kernel one); 0.001 + 120 epochs solves it
+JOINT_HP = {
+    "tiny": {},
+    "kernel": {"learning_rate": "0.001", "learning_rate_init": "0.001",
+               "epochs": 120},
+}
 
 
 def sh(cmd, log):
@@ -45,7 +79,7 @@ def sh(cmd, log):
     return time.time() - t0
 
 
-def common_flags(data):
+def common_flags(data, dims=None):
     flags = [
         "--path_vocab_src", f"{data}/vocab.src",
         "--path_vocab_tgt", f"{data}/vocab.tgt",
@@ -56,7 +90,7 @@ def common_flags(data):
         "--lr_warmup_steps", "0", "--max_count_no_improve", "30",
         "--max_count_num_rollback", "30",
     ]
-    for k, v in DIMS.items():
+    for k, v in (dims or DIMS).items():
         flags += [f"--{k}", str(v)]
     return flags
 
@@ -74,6 +108,9 @@ def read_lines(path):
 
 def main():
     work = sys.argv[1] if len(sys.argv) > 1 else "/tmp/stjep_quality"
+    dtype = sys.argv[2] if len(sys.argv) > 2 else "float32"
+    profile = sys.argv[3] if len(sys.argv) > 3 else "tiny"
+    dims = PROFILES[profile]
     os.makedirs(work, exist_ok=True)
     data = os.path.join(work, "data")
 
@@ -82,7 +119,7 @@ def main():
     make_corpus(data, n_sent=N_TRAIN, learnable=True, seed=0, prefix="train")
     make_corpus(data, n_sent=N_DEV, learnable=True, seed=7, prefix="dev")
     py = sys.executable
-    C = common_flags(data)
+    C = common_flags(data, dims) + ["--dtype", dtype]
 
     # --- stage 1: ASR pretrain -------------------------------------------
     print("[1/4] ASR pretrain", flush=True)
@@ -107,8 +144,14 @@ def main():
 
     # --- stage 3: joint ASR_ST -------------------------------------------
     print("[3/4] joint ASR_ST", flush=True)
+    hp = JOINT_HP[profile]
+    joint_epochs = hp.get("epochs", EPOCHS_JOINT)
+    J = list(C)
+    for flag in ("learning_rate", "learning_rate_init"):
+        if flag in hp:
+            J[J.index(f"--{flag}") + 1] = hp[flag]
     t_joint = sh([py, "train.py", "--mode", "ASR_ST", "--save",
-                  f"{work}/asr_st", "--num_epochs", str(EPOCHS_JOINT),
+                  f"{work}/asr_st", "--num_epochs", str(joint_epochs),
                   "--load", asr_ckpt, "--load_mode", "ASR",
                   "--loss_nll_asr_coeff", "1.0", "--loss_nll_st_coeff", "1.0",
                   "--emb_dyn_ave", f"{work}/emb/dyn_emb_ave.npy",
@@ -118,7 +161,7 @@ def main():
                   "--st_dev_path_src", f"{data}/dev.src",
                   "--st_dev_path_tgt", f"{data}/dev.tgt",
                   "--st_dev_acous_path", f"{data}/dev.flis",
-                  *C], f"{work}/log.joint")
+                  *J], f"{work}/log.joint")
     joint_ckpt = latest_ckpt(f"{work}/asr_st")
     print(f"    ckpt={joint_ckpt} ({t_joint:.0f}s)", flush=True)
 
@@ -155,15 +198,23 @@ def main():
     result = {
         "corpus": {"train_sents": N_TRAIN, "dev_sents": N_DEV,
                    "task": "synthetic learnable ST (tests/data_factory.py)"},
-        "config": DIMS,
-        "epochs": {"asr": EPOCHS_ASR, "joint": EPOCHS_JOINT},
+        "config": dims,
+        "profile": profile,
+        "dtype": dtype,
+        "epochs": {"asr": EPOCHS_ASR, "joint": joint_epochs},
+        "joint_hp": hp,
         "asr_dev_wer": round(wer, 4),
         "st_dev_bleu": round(bleu, 4),
         "train_wall_s": {"asr": round(t_asr, 1), "joint": round(t_joint, 1)},
         "backend": jax.default_backend(),
     }
     print(json.dumps(result, indent=2))
-    out = os.path.join(ROOT, "benchmarks", "quality_synthetic.json")
+    name = "quality_synthetic"
+    if profile != "tiny":
+        name += f"_{profile}"
+    if dtype != "float32":
+        name += "_bf16"
+    out = os.path.join(ROOT, "benchmarks", name + ".json")
     with open(out, "w") as f:
         json.dump(result, f, indent=2)
     print(f"wrote {out}")

@@ -9,6 +9,13 @@
 #
 # Usage: scripts/run_full_recipe.sh [workdir]
 # Runs on whatever JAX backend is available (CPU ok: tiny dims).
+#
+# Batch sizing on TPU: the LSTM recurrences are latency-bound on their
+# dependent chains, so larger per-device minibatches are nearly free —
+# prefer --batch_size 32+ (with --minibatch_partition for memory) on real
+# corpora; bench.py's train_step_b32 row quantifies the gain (+16%
+# samples/s at flagship dims). This smoke recipe keeps 8 for its
+# 24-sentence corpus.
 set -e
 cd "$(dirname "$0")/.."
 WORK=${1:-/tmp/stjep_recipe}
