@@ -115,15 +115,22 @@ def beam_search(
         import os
 
         from stjep_tpu.ops.decode_flash import flash_supported
-        from stjep_tpu.parallel.spmd import dp_only_mesh, kernel_mesh
+        from stjep_tpu.parallel.spmd import (
+            dp_only_mesh,
+            kernel_mesh,
+            tp_flash_ok,
+        )
         from stjep_tpu.utils.misc import flash_kernels_disabled
 
         from stjep_tpu.models.seq2seq import _needs_full_rerun
 
         # decode_flash reads the transformer weights: batch shard_map under
-        # a pure-DP mesh (parallel/spmd.py), dense XLA under a TP mesh
+        # a pure-DP mesh, the tensor-parallel trio + vocab-sharded head
+        # under a TP mesh when the dims divide (parallel/spmd.py /
+        # ops/decode_flash_tp.py), dense XLA otherwise
         use_flash = (not flash_kernels_disabled()
-                     and (kernel_mesh() is None or dp_only_mesh())
+                     and (kernel_mesh() is None or dp_only_mesh()
+                          or tp_flash_ok(cfg))
                      and not _needs_full_rerun(cfg)
                      and ((jax.default_backend() != "cpu"
                            and flash_supported(cfg.dim_model))
@@ -255,6 +262,7 @@ def _beam_search_flash(
     penalty_factor: float,
     max_seq_len: int,
     cache_dtype=None,
+    tp_axis: Optional[str] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Beam search over the fused Pallas decode kernels.
 
@@ -262,7 +270,12 @@ def _beam_search_flash(
     in the cache plumbing: buffers are padded to the kernel stream block,
     the KV caches are never reordered (the `anc` carry records each
     hypothesis's per-position ancestor row and the attention kernel resolves
-    it at read time), and cross-attention memory stays unexpanded."""
+    it at read time), and cross-attention memory stays unexpanded.
+
+    tp_axis (inside a tensor-parallel shard_map, parallel/spmd.py) runs the
+    per-layer TP kernel trio and the vocab-sharded decode head; the beam
+    bookkeeping operates on psum-joined quantities identical on every model
+    shard, so selection/EOS control flow stays in lockstep."""
     from stjep_tpu.models.seq2seq import _embed_tgt_token
     from stjep_tpu.ops.decode_flash import BLOCK, CROSS_BLOCK, pad_len
 
@@ -286,6 +299,7 @@ def _beam_search_flash(
 
     def decode_pos(s: FlashBeamState):
         from stjep_tpu.ops.decode_flash import decode_head
+        from stjep_tpu.ops.decode_flash_tp import decode_head_tp
 
         pos = s.i - 1
         tok = jax.lax.dynamic_index_in_dim(s.preds, pos, axis=1, keepdims=False)
@@ -293,10 +307,16 @@ def _beam_search_flash(
         dec_out, cache = tf_decoder_step_flash(
             params["dec_tgt"], cfg, emb, s.cache, pos, s.anc, K,
             mem_mask_t, (s.preds != PAD).T, max_time=max_time,
-            final_norm=False)
+            final_norm=False, tp_axis=tp_axis)
         # fused head: final LN + out projection + log_softmax + top-k
-        score_k, pred_k = decode_head(
-            params["dec_tgt"]["norm"], params["out_tgt"], dec_out[:, 0], K)
+        if tp_axis is not None:
+            score_k, pred_k = decode_head_tp(
+                params["dec_tgt"]["norm"], params["out_tgt"], dec_out[:, 0],
+                K, tp_axis)
+        else:
+            score_k, pred_k = decode_head(
+                params["dec_tgt"]["norm"], params["out_tgt"], dec_out[:, 0],
+                K)
         return score_k, pred_k, cache
 
     def finish_step(state, pred_select, scores, preds, anc, cache):

@@ -407,7 +407,8 @@ class _FlashGreedyState(NamedTuple):
 
 
 def _greedy_decode_flash(params, cfg: ModelConfig, enc_outputs, mem_mask_b,
-                         length_out: int, max_time: int, ref_tokens):
+                         length_out: int, max_time: int, ref_tokens,
+                         tp_axis=None):
     """_greedy_decode over the fused Pallas decode kernels (group == 1).
 
     Same buffer semantics (BOS slot 0, PAD fill, all-EOS early exit), but
@@ -458,11 +459,18 @@ def _greedy_decode_flash(params, cfg: ModelConfig, enc_outputs, mem_mask_b,
         dec_out, cache = tf_decoder_step_flash(
             params["dec_tgt"], cfg, emb, s.cache, pos, anc, 1,
             mem_mask_t, (s.tokens != PAD).T, max_time=max_time,
-            final_norm=False)
+            final_norm=False, tp_axis=tp_axis)
         gid = jax.lax.dynamic_index_in_dim(refs, s.i, axis=1, keepdims=False)
-        _, pred1, ref_lp = decode_head_gather(
-            params["dec_tgt"]["norm"], params["out_tgt"], dec_out[:, 0], 1,
-            gid)
+        if tp_axis is not None:
+            from stjep_tpu.ops.decode_flash_tp import decode_head_tp
+
+            _, pred1, ref_lp = decode_head_tp(
+                params["dec_tgt"]["norm"], params["out_tgt"], dec_out[:, 0],
+                1, tp_axis, gather_ids=gid)
+        else:
+            _, pred1, ref_lp = decode_head_gather(
+                params["dec_tgt"]["norm"], params["out_tgt"], dec_out[:, 0],
+                1, gid)
         pred = pred1[:, 0]
         tokens = jax.lax.dynamic_update_index_in_dim(s.tokens, pred, s.i,
                                                      axis=1)
@@ -506,13 +514,20 @@ def forward_eval(
         import os
 
         from stjep_tpu.ops.decode_flash import flash_supported
-        from stjep_tpu.parallel.spmd import dp_only_mesh, kernel_mesh
+        from stjep_tpu.parallel.spmd import (
+            dp_only_mesh,
+            kernel_mesh,
+            tp_flash_ok,
+        )
         from stjep_tpu.utils.misc import flash_kernels_disabled
 
         # decode_flash reads the transformer weights: batch shard_map under
-        # a pure-DP mesh (parallel/spmd.py), dense XLA under a TP mesh
+        # a pure-DP mesh, the tensor-parallel trio + vocab-sharded head
+        # under a TP mesh when the dims divide (parallel/spmd.py /
+        # ops/decode_flash_tp.py), dense XLA otherwise
         use_flash = (not flash_kernels_disabled()
-                     and (kernel_mesh() is None or dp_only_mesh())
+                     and (kernel_mesh() is None or dp_only_mesh()
+                          or tp_flash_ok(cfg))
                      and not _needs_full_rerun(cfg)
                      and ((jax.default_backend() != "cpu"
                            and flash_supported(cfg.dim_model))

@@ -190,7 +190,11 @@ def tf_decoder_init_cache_flash(
         ca = _layer_params(params, cfg, i)["encdec_attn"]
         mem_ks.append(linear(ca["w_ks"], mem).astype(dt))
         mem_vs.append(linear(ca["w_vs"], mem).astype(dt))
-    zeros = jnp.zeros((group, B, Lbuf, cfg.dim_model), dt)
+    # cache width follows the K projection: dim_model normally, a D/n_model
+    # head shard when the params arrive sharded inside a tensor-parallel
+    # shard_map (parallel/spmd.py beam/greedy _tp wrappers)
+    d_cache = _layer_params(params, cfg, 0)["decslf_attn"]["w_ks"]["w"].shape[1]
+    zeros = jnp.zeros((group, B, Lbuf, d_cache), dt)
     return TFDecCache(
         self_k=tuple(zeros for _ in range(cfg.dec_layers)),
         self_v=tuple(zeros for _ in range(cfg.dec_layers)),
@@ -211,31 +215,49 @@ def tf_decoder_step_flash(
     self_mask_k: jnp.ndarray,  # [Lpad, B*K] bool TRANSPOSED
     max_time: int = UPPERBOUND_SEQ_LEN,
     final_norm: bool = True,
+    tp_axis: Optional[str] = None,
 ) -> Tuple[jnp.ndarray, TFDecCache]:
     """Decode position through all layers via the fused Pallas kernels.
 
     Masks/ancestry are position-major ([L, rows]) so the kernels' block
     slicing stays on the sublane dimension (see ops/decode_flash.py).
     final_norm=False skips the trailing LayerNorm so the caller can fuse it
-    into the decode head kernel (ops/decode_flash.decode_head)."""
+    into the decode head kernel (ops/decode_flash.decode_head).
+
+    tp_axis names the mesh's model axis when running inside a tensor-
+    parallel shard_map: params then hold Megatron weight shards and each
+    layer runs the TP trio (ops/decode_flash_tp.py) — local-head kernels
+    joined by psums over `tp_axis`."""
     from stjep_tpu.ops.decode_flash import decoder_layer_step_flash
+    from stjep_tpu.ops.decode_flash_tp import decoder_layer_step_flash_tp
 
     time_sig = position_signal(max_time, cfg.dim_model)
     layer_sig = position_signal(cfg.dec_layers, cfg.dim_model)
     x = x_new + jax.lax.dynamic_slice_in_dim(time_sig, pos, 1, axis=1).astype(
         x_new.dtype
     )
+    if tp_axis is not None:
+        d_local = _layer_params(params, cfg, 0)["decslf_attn"]["w_qs"]["w"].shape[1]
+        n_head_local = cfg.num_heads * d_local // cfg.dim_model
     self_k = list(cache.self_k)
     self_v = list(cache.self_v)
     for layer in range(cfg.dec_layers):
         if cfg.transformer_type == "universal":
             x = x + layer_sig[:, layer, :][:, None, :].astype(x.dtype)
         lp = _layer_params(params, cfg, layer)
-        x, ck, cv = decoder_layer_step_flash(
-            lp, x, self_k[layer], self_v[layer],
-            cache.mem_k[layer], cache.mem_v[layer],
-            pos, cfg.num_heads, anc, group, mem_mask_pad, self_mask_k,
-        )
+        if tp_axis is not None:
+            x, ck, cv = decoder_layer_step_flash_tp(
+                lp, x, self_k[layer], self_v[layer],
+                cache.mem_k[layer], cache.mem_v[layer],
+                pos, n_head_local, anc, group, mem_mask_pad, self_mask_k,
+                tp_axis,
+            )
+        else:
+            x, ck, cv = decoder_layer_step_flash(
+                lp, x, self_k[layer], self_v[layer],
+                cache.mem_k[layer], cache.mem_v[layer],
+                pos, cfg.num_heads, anc, group, mem_mask_pad, self_mask_k,
+            )
         self_k[layer] = ck
         self_v[layer] = cv
     if final_norm:

@@ -128,17 +128,25 @@ def _self_core(pos, x, anc_ref, maskk_ref,
                lns_ref, lnb_ref, wq_ref, wk_ref, wv_ref, wo_ref,
                ck_out, cv_out,
                kbuf, vbuf, sem_rd, sem_wr,
-               n_head: int, group: int, blk: int = BLOCK):
+               n_head: int, group: int, blk: int = BLOCK,
+               residual: bool = True):
     """Fused self-attention step body; returns y [BK, D] and persists the
-    new K/V row into the (aliased) HBM caches as a side effect."""
+    new K/V row into the (aliased) HBM caches as a side effect.
+
+    Rectangular projections are supported for tensor parallelism: wq/wk/wv
+    may be [D, Dq] with Dq = D/n_model (a head shard — n_head is then the
+    LOCAL head count) and wo [Dq, D]; residual=False returns the partial
+    output-projection contribution only, for a psum across the model axis
+    before the residual add (ops/decode_flash_tp.py)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     f32 = jnp.float32
     BK, D = x.shape
-    d = D // n_head
+    Dq = wq_ref.shape[1]  # attention width (== D unless head-sharded)
+    d = Dq // n_head
     B = BK // group
-    hsel = _head_sel(D, n_head)  # [D, n]
+    hsel = _head_sel(Dq, n_head)  # [Dq, n]
     xn = _ln(x, lns_ref[:], lnb_ref[:])
     q = jnp.dot(xn, wq_ref[:], preferred_element_type=f32) / (d**0.5)
     k_new = jnp.dot(x, wk_ref[:], preferred_element_type=f32)
@@ -183,7 +191,7 @@ def _self_core(pos, x, anc_ref, maskk_ref,
 
     m0 = jnp.full((BK, n_head), -1e30, f32)
     l0 = jnp.zeros((BK, n_head), f32)
-    a0 = jnp.zeros((BK, D), f32)
+    a0 = jnp.zeros((BK, Dq), f32)
 
     def body(i, carry):
         m, lsum, acc = carry
@@ -233,15 +241,15 @@ def _self_core(pos, x, anc_ref, maskk_ref,
         # the dominant VPU select traffic (ROADMAP #2 "bf16 select
         # arithmetic"); the f32-parity mode is unchanged. Scores still
         # accumulate f32 on the MXU via preferred_element_type.
-        ksel = jnp.zeros((BK, blk, D), sdt)
-        vsel = jnp.zeros((BK, blk, D), sdt)
+        ksel = jnp.zeros((BK, blk, Dq), sdt)
+        vsel = jnp.zeros((BK, blk, Dq), sdt)
         for j in range(group):
             kj = jnp.broadcast_to(
-                kbuf[slot, j][:, None], (B, group, blk, D)
-            ).reshape(BK, blk, D)
+                kbuf[slot, j][:, None], (B, group, blk, Dq)
+            ).reshape(BK, blk, Dq)
             vj = jnp.broadcast_to(
-                vbuf[slot, j][:, None], (B, group, blk, D)
-            ).reshape(BK, blk, D)
+                vbuf[slot, j][:, None], (B, group, blk, Dq)
+            ).reshape(BK, blk, Dq)
             take = (anc_blk == j).astype(f32)[:, :, None] > 0.5
             ksel = jnp.where(take, kj, ksel)
             vsel = jnp.where(take, vj, vsel)
@@ -249,8 +257,8 @@ def _self_core(pos, x, anc_ref, maskk_ref,
         # per-head scores via the head-selector matmul (no lane reshape);
         # hsel matches the select dtype so nothing silently promotes back
         # to f32 (accumulation stays f32 via preferred_element_type)
-        prod = q[:, None, :].astype(sdt) * ksel  # [BK, BLOCK, D]
-        s = jnp.dot(prod.reshape(BK * blk, D), hsel.astype(sdt),
+        prod = q[:, None, :].astype(sdt) * ksel  # [BK, BLOCK, Dq]
+        s = jnp.dot(prod.reshape(BK * blk, Dq), hsel.astype(sdt),
                     preferred_element_type=f32).reshape(BK, blk, n_head)
         s = jnp.where(valid.astype(f32)[:, :, None] > 0.5, s, NEG)
 
@@ -263,8 +271,8 @@ def _self_core(pos, x, anc_ref, maskk_ref,
         # expand per-head weights across their lane chunk and contract the
         # block on the VPU: ctx[s, h*d+dd] = sum_l p[s,l,h] * vsel[s,l,h*d+dd]
         p_exp = jnp.dot(p.reshape(BK * blk, n_head), hsel.T,
-                        preferred_element_type=f32).reshape(BK, blk, D)
-        ctx = jnp.sum(p_exp * vsel, axis=1)  # [BK, D]
+                        preferred_element_type=f32).reshape(BK, blk, Dq)
+        ctx = jnp.sum(p_exp * vsel, axis=1)  # [BK, Dq]
         alpha_exp = jnp.dot(alpha, hsel.T, preferred_element_type=f32)
         acc = acc * alpha_exp + ctx
         return m_new, lsum, acc
@@ -273,7 +281,9 @@ def _self_core(pos, x, anc_ref, maskk_ref,
     lsum = jnp.where(lsum == 0.0, 1.0, lsum)
     lsum_exp = jnp.dot(lsum, hsel.T, preferred_element_type=f32)
     out = acc / lsum_exp
-    y = jnp.dot(out, wo_ref[:], preferred_element_type=f32) + x
+    y = jnp.dot(out, wo_ref[:], preferred_element_type=f32)
+    if residual:
+        y = y + x
 
     # ---- persist the new K/V row: the last block's VMEM buffer already
     # holds the loaded contents with the new row injected at `pos`, so the
@@ -297,12 +307,13 @@ def _self_kernel(pos_ref, x_ref, anc_ref, maskk_ref,
                  ck_in, cv_in,
                  y_ref, ck_out, cv_out,
                  kbuf, vbuf, sem_rd, sem_wr,
-                 *, n_head: int, group: int, blk: int):
+                 *, n_head: int, group: int, blk: int,
+                 residual: bool = True):
     y_ref[:] = _self_core(
         pos_ref[0], x_ref[:], anc_ref, maskk_ref,
         lns_ref, lnb_ref, wq_ref, wk_ref, wv_ref, wo_ref,
         ck_out, cv_out, kbuf, vbuf, sem_rd, sem_wr,
-        n_head, group, blk)
+        n_head, group, blk, residual=residual)
 
 
 def self_attn_step(
@@ -315,19 +326,26 @@ def self_attn_step(
     anc: jnp.ndarray,  # [Lpad, B*K] int32 TRANSPOSED (all-zeros for greedy)
     group: int,
     mask_k: jnp.ndarray,  # [Lpad, B*K] bool TRANSPOSED, True=attendable
+    residual: bool = True,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Returns (y [B*K,1,D], cache_k, cache_v) — caches updated in place.
 
     Row s = b*group + k of the logical [B*K] batch lives at cache[k, b]
     (group-major storage lets the kernel address beam rows with static
     indices instead of Mosaic-unsupported reshapes). anc/mask_k arrive
-    position-major so block slicing is a sublane slice."""
+    position-major so block slicing is a sublane slice.
+
+    Under tensor parallelism the params hold a head shard ([D, Dq] with
+    Dq = D/n_model), caches are [group, B, Lpad, Dq], n_head is the local
+    head count, and residual=False returns the pre-residual partial."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     BK, _, D = x_new.shape
+    Dq = params["w_qs"]["w"].shape[1]
     L = cache_k.shape[2]
     assert cache_k.shape[:2] == (group, BK // group)
+    assert cache_k.shape[3] == Dq
     blk, _ = stream_blocks(BK, D, jnp.dtype(cache_k.dtype).itemsize)
     assert anc.shape == (L, BK) and mask_k.shape == (L, BK)
     assert L % blk == 0, f"cache length {L} not a multiple of {blk}"
@@ -353,18 +371,18 @@ def self_attn_step(
         [vmem() for _ in range(9)] + [anyspace(), anyspace()]
     out_shape = (
         jax.ShapeDtypeStruct((BK, D), f32),
-        jax.ShapeDtypeStruct((group, B, L, D), cdt),
-        jax.ShapeDtypeStruct((group, B, L, D), cdt),
+        jax.ShapeDtypeStruct((group, B, L, Dq), cdt),
+        jax.ShapeDtypeStruct((group, B, L, Dq), cdt),
     )
     y, ck, cv = pl.pallas_call(
         functools.partial(_self_kernel, n_head=n_head, group=group,
-                          blk=blk),
+                          blk=blk, residual=residual),
         in_specs=in_specs,
         out_specs=(vmem(), anyspace(), anyspace()),
         out_shape=out_shape,
         scratch_shapes=[
-            pltpu.VMEM((2, group, B, blk, D), cdt),  # kbuf
-            pltpu.VMEM((2, group, B, blk, D), cdt),  # vbuf
+            pltpu.VMEM((2, group, B, blk, Dq), cdt),  # kbuf
+            pltpu.VMEM((2, group, B, blk, Dq), cdt),  # vbuf
             pltpu.SemaphoreType.DMA((2, 2)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
@@ -384,17 +402,21 @@ def _cross_core(x, memmask_ref,
                 lns_ref, lnb_ref, wq_ref, wo_ref,
                 mk_hbm, mv_hbm,
                 kbuf, vbuf, sem_rd,
-                n_head: int, group: int, bs: int):
-    """Fused cross-attention step body; returns y [BK, D]."""
+                n_head: int, group: int, bs: int,
+                residual: bool = True):
+    """Fused cross-attention step body; returns y [BK, D].
+
+    Rectangular wq [D, Dq] / wo [Dq, D] (head shards, n_head local) and
+    residual=False support the tensor-parallel trio (decode_flash_tp)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     f32 = jnp.float32
     BK, D = x.shape
-    B, Lk, _ = mk_hbm.shape
-    d = D // n_head
+    B, Lk, Dq = mk_hbm.shape
+    d = Dq // n_head
     nb = Lk // bs
-    hsel = _head_sel(D, n_head)
+    hsel = _head_sel(Dq, n_head)
     # [BK, B] 0/1: row s=(b,k) <- batch entry b
     expand = (jax.lax.broadcasted_iota(jnp.int32, (BK, B), 0) // group
               == jax.lax.broadcasted_iota(jnp.int32, (BK, B), 1)
@@ -417,7 +439,7 @@ def _cross_core(x, memmask_ref,
 
     m0 = jnp.full((BK, n_head), -1e30, f32)
     l0 = jnp.zeros((BK, n_head), f32)
-    a0 = jnp.zeros((BK, D), f32)
+    a0 = jnp.zeros((BK, Dq), f32)
 
     def body(i, carry):
         m, lsum, acc = carry
@@ -437,19 +459,19 @@ def _cross_core(x, memmask_ref,
         # broadcasts stay in the memory dtype (halves traffic for bf16)
         mdt_k = kbuf.dtype
         kblk = jnp.broadcast_to(
-            kbuf[slot][:, None], (B, group, bs, D)
-        ).reshape(BK, bs, D)
+            kbuf[slot][:, None], (B, group, bs, Dq)
+        ).reshape(BK, bs, Dq)
         vblk = jnp.broadcast_to(
-            vbuf[slot][:, None], (B, group, bs, D)
-        ).reshape(BK, bs, D)
+            vbuf[slot][:, None], (B, group, bs, Dq)
+        ).reshape(BK, bs, Dq)
         # mask arrives TRANSPOSED [Lk, B]; beam-expand rows via the 0/1
         # expansion matmul (no sublane-merging reshapes)
         mm = jnp.swapaxes(
             memmask_ref[pl.ds(i * bs, bs), :], 0, 1).astype(f32)  # [B, bs]
         msk = jnp.dot(expand, mm, preferred_element_type=f32)  # [BK, bs] f32
 
-        prod = q[:, None, :].astype(mdt_k) * kblk  # [BK, bs, D]
-        s = jnp.dot(prod.reshape(BK * bs, D), hsel.astype(mdt_k),
+        prod = q[:, None, :].astype(mdt_k) * kblk  # [BK, bs, Dq]
+        s = jnp.dot(prod.reshape(BK * bs, Dq), hsel.astype(mdt_k),
                     preferred_element_type=f32).reshape(BK, bs, n_head)
         s = jnp.where(msk[:, :, None] > 0.5, s, NEG)
 
@@ -459,7 +481,7 @@ def _cross_core(x, memmask_ref,
         p = jnp.exp(s - m_new[:, None, :])
         lsum = lsum * alpha + jnp.sum(p, axis=1)
         p_exp = jnp.dot(p.reshape(BK * bs, n_head), hsel.T,
-                        preferred_element_type=f32).reshape(BK, bs, D)
+                        preferred_element_type=f32).reshape(BK, bs, Dq)
         ctx = jnp.sum(p_exp * vblk, axis=1)
         alpha_exp = jnp.dot(alpha, hsel.T, preferred_element_type=f32)
         acc = acc * alpha_exp + ctx
@@ -469,7 +491,10 @@ def _cross_core(x, memmask_ref,
     lsum = jnp.where(lsum == 0.0, 1.0, lsum)
     lsum_exp = jnp.dot(lsum, hsel.T, preferred_element_type=f32)
     out = acc / lsum_exp
-    return jnp.dot(out, wo_ref[:], preferred_element_type=f32) + x
+    y = jnp.dot(out, wo_ref[:], preferred_element_type=f32)
+    if residual:
+        y = y + x
+    return y
 
 
 def _cross_kernel(x_ref, memmask_ref,
@@ -477,10 +502,12 @@ def _cross_kernel(x_ref, memmask_ref,
                   mk_hbm, mv_hbm,
                   y_ref,
                   kbuf, vbuf, sem_rd,
-                  *, n_head: int, group: int, bs: int):
+                  *, n_head: int, group: int, bs: int,
+                  residual: bool = True):
     y_ref[:] = _cross_core(
         x_ref[:], memmask_ref, lns_ref, lnb_ref, wq_ref, wo_ref,
-        mk_hbm, mv_hbm, kbuf, vbuf, sem_rd, n_head, group, bs)
+        mk_hbm, mv_hbm, kbuf, vbuf, sem_rd, n_head, group, bs,
+        residual=residual)
 
 
 def cross_attn_step(
@@ -492,12 +519,13 @@ def cross_attn_step(
     group: int,
     mem_mask: jnp.ndarray,  # [Lk_pad, B] bool TRANSPOSED (False on padding)
     bs: int = 0,  # 0 = auto via stream_blocks
+    residual: bool = True,
 ) -> jnp.ndarray:
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     BK, _, D = x_new.shape
-    B, Lk, _ = mem_k.shape
+    B, Lk, Dq = mem_k.shape
     if not bs:
         _, bs = stream_blocks(BK, D, jnp.dtype(mem_k.dtype).itemsize)
     assert Lk % bs == 0, f"memory length {Lk} not a multiple of {bs}"
@@ -516,13 +544,14 @@ def cross_attn_step(
            else pltpu.MemorySpace.HBM)  # interpret mode needs ANY
     anyspace = lambda: pl.BlockSpec(memory_space=hbm)
     y = pl.pallas_call(
-        functools.partial(_cross_kernel, n_head=n_head, group=group, bs=bs),
+        functools.partial(_cross_kernel, n_head=n_head, group=group, bs=bs,
+                          residual=residual),
         in_specs=[vmem() for _ in range(6)] + [anyspace(), anyspace()],
         out_specs=vmem(),
         out_shape=jax.ShapeDtypeStruct((BK, D), f32),
         scratch_shapes=[
-            pltpu.VMEM((2, B, bs, D), mdt),
-            pltpu.VMEM((2, B, bs, D), mdt),
+            pltpu.VMEM((2, B, bs, Dq), mdt),
+            pltpu.VMEM((2, B, bs, Dq), mdt),
             pltpu.SemaphoreType.DMA((2, 2)),
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
@@ -536,22 +565,31 @@ def cross_attn_step(
 # ---------------------------------------------------------------------------
 
 
-def _ffn_core(x, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref, b2_ref):
-    """Fused FFN step body; returns y [BK, D]."""
+def _ffn_core(x, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+              partial_tp: bool = False):
+    """Fused FFN step body; returns y [BK, D].
+
+    partial_tp=True returns only `relu(LN(x) @ w1 + b1) @ w2` — the hidden
+    dim is a model-axis shard (w1 column- / w2 row-parallel, b1 sharded),
+    so the caller psums the partials and adds x + b2 once afterwards."""
     f32 = jnp.float32
     xn = _ln(x, lns_ref[:], lnb_ref[:])
     h = jnp.maximum(
         jnp.dot(xn, w1_ref[:], preferred_element_type=f32) + b1_ref[:], 0.0)
-    return x + jnp.dot(h, w2_ref[:], preferred_element_type=f32) + b2_ref[:]
+    y = jnp.dot(h, w2_ref[:], preferred_element_type=f32)
+    if partial_tp:
+        return y
+    return x + y + b2_ref[:]
 
 
 def _ffn_kernel(x_ref, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref, b2_ref,
-                y_ref):
+                y_ref, *, partial_tp: bool = False):
     y_ref[:] = _ffn_core(x_ref[:], lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref,
-                         b2_ref)
+                         b2_ref, partial_tp=partial_tp)
 
 
-def ffn_step(params: Dict, x_new: jnp.ndarray) -> jnp.ndarray:
+def ffn_step(params: Dict, x_new: jnp.ndarray,
+             partial_tp: bool = False) -> jnp.ndarray:
     """x_new: [B*K, 1, D]. LN -> w1 -> relu -> w2 -> residual, one launch."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -559,7 +597,7 @@ def ffn_step(params: Dict, x_new: jnp.ndarray) -> jnp.ndarray:
     BK, _, D = x_new.shape
     vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     y = pl.pallas_call(
-        _ffn_kernel,
+        functools.partial(_ffn_kernel, partial_tp=partial_tp),
         in_specs=[vmem() for _ in range(7)],
         out_specs=vmem(),
         out_shape=jax.ShapeDtypeStruct((BK, D), jnp.float32),
@@ -710,8 +748,13 @@ def decoder_layer_step_flash_trio(
 
 
 def _head_kernel(x_ref, lns_ref, lnb_ref, w_ref, *rest,
-                 topk: int, gather: bool):
-    if gather:
+                 topk: int, gather: bool, partial: bool = False):
+    if partial:
+        if gather:
+            gid_ref, sc_ref, id_ref, glp_ref, mx_ref, se_ref = rest
+        else:
+            sc_ref, id_ref, mx_ref, se_ref = rest
+    elif gather:
         gid_ref, sc_ref, id_ref, glp_ref = rest
     else:
         sc_ref, id_ref = rest
@@ -720,7 +763,8 @@ def _head_kernel(x_ref, lns_ref, lnb_ref, w_ref, *rest,
     logits = jnp.dot(x, w_ref[:], preferred_element_type=f32)
     BK, V = logits.shape
     mx = jnp.max(logits, axis=-1)
-    lse = mx + jnp.log(jnp.sum(jnp.exp(logits - mx[:, None]), axis=-1))
+    se = jnp.sum(jnp.exp(logits - mx[:, None]), axis=-1)
+    lse = mx + jnp.log(se)
 
     # top-k by iterative first-max extraction — identical ordering to
     # jax.lax.top_k (ties resolve to the lowest index)
@@ -730,19 +774,26 @@ def _head_kernel(x_ref, lns_ref, lnb_ref, w_ref, *rest,
     for _k in range(topk):
         mk = jnp.max(cur, axis=-1)  # [BK]
         amk = jnp.min(jnp.where(cur == mk[:, None], iota, V), axis=-1)
-        # log_softmax(top value) == top logit - logsumexp (monotonic shift)
-        scs.append((mk - lse)[:, None])
+        # log_softmax(top value) == top logit - logsumexp (monotonic shift);
+        # the partial (tensor-parallel) mode emits RAW logits plus (mx, se)
+        # so the caller can form the GLOBAL logsumexp across vocab shards
+        scs.append((mk if partial else mk - lse)[:, None])
         ids.append(amk[:, None].astype(jnp.int32))
         cur = jnp.where(iota == amk[:, None], -1e30, cur)
     sc_ref[:] = jnp.concatenate(scs, axis=1)
     id_ref[:] = jnp.concatenate(ids, axis=1)
+    if partial:
+        mx_ref[:] = mx[:, None]
+        se_ref[:] = se[:, None]
     if gather:
         # log-softmax value at a caller-given id per row (one-hot select —
         # the trainer's dev NLL reads the free-running distribution at the
-        # reference token, ref: trainer_asr.py:_evaluate_batches)
+        # reference token, ref: trainer_asr.py:_evaluate_batches). In
+        # partial mode the id arrives pre-offset into the local vocab shard
+        # (out-of-shard ids match nothing and contribute 0 to the psum).
         gid = gid_ref[:, 0][:, None]  # [BK, 1]
         glog = jnp.sum(jnp.where(iota == gid, logits, 0.0), axis=-1)
-        glp_ref[:] = (glog - lse)[:, None]
+        glp_ref[:] = (glog if partial else glog - lse)[:, None]
 
 
 def decode_head(
@@ -814,3 +865,57 @@ def decode_head_gather(
         gather_ids.astype(jnp.int32)[:, None],
     )
     return sc, ids, glp[:, 0]
+
+
+def decode_head_partial(
+    norm_params: Dict,
+    out_params: Dict,  # vocab SHARD of out_tgt: w [D, V/n_model]
+    x: jnp.ndarray,  # [B*K, D]
+    topk: int,
+    gather_ids: Optional[jnp.ndarray] = None,  # [B*K] ids ALREADY offset
+    # into the local shard (out-of-shard rows may be any out-of-range value)
+):
+    """Per-vocab-shard decode head for tensor parallelism.
+
+    Returns (sc_raw [BK, topk] RAW top logits, ids [BK, topk] LOCAL ids,
+    mx [BK], se [BK], [glog_raw [BK]]): the caller (decode_flash_tp.
+    decode_head_tp) merges shards into the global log-softmax top-k via
+    lse = pmax/psum over the model axis and an all_gather of candidates."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    BK, D = x.shape
+    gather = gather_ids is not None
+    vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    n_out = 5 if gather else 4
+    out_shape = [
+        jax.ShapeDtypeStruct((BK, topk), jnp.float32),
+        jax.ShapeDtypeStruct((BK, topk), jnp.int32),
+    ]
+    if gather:
+        out_shape.append(jax.ShapeDtypeStruct((BK, 1), jnp.float32))  # glog
+    out_shape += [
+        jax.ShapeDtypeStruct((BK, 1), jnp.float32),  # mx
+        jax.ShapeDtypeStruct((BK, 1), jnp.float32),  # se
+    ]
+    args = [
+        x.astype(jnp.float32),
+        norm_params["scale"], norm_params["bias"],
+        out_params["w"],
+    ]
+    if gather:
+        args.append(gather_ids.astype(jnp.int32)[:, None])
+    outs = pl.pallas_call(
+        functools.partial(_head_kernel, topk=topk, gather=gather,
+                          partial=True),
+        in_specs=[vmem() for _ in range(len(args))],
+        out_specs=tuple(vmem() for _ in range(n_out)),
+        out_shape=tuple(out_shape),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
+        interpret=jax.default_backend() == "cpu",
+    )(*args)
+    if gather:
+        sc, ids, glog, mx, se = outs
+        return sc, ids, mx[:, 0], se[:, 0], glog[:, 0]
+    sc, ids, mx, se = outs
+    return sc, ids, mx[:, 0], se[:, 0]

@@ -19,12 +19,15 @@ mesh is active or the batch does not divide the data axis (XLA then
 replicates: slow but correct, and only reachable for ragged eval tails).
 
 The transformer-side decode kernels (ops/decode_flash.py) read the
-transformer weights, which are only replicated under a pure-DP mesh
-(n_model == 1): there they dispatch through the same batch shard_map
+transformer weights: under a pure-DP mesh (n_model == 1) they are
+replicated and dispatch through the same batch shard_map
 (`greedy_decode_flash_dp`, `beam_search_flash_dp`). Under a TP mesh
-(n_model > 1) a correct SPMD form would need model-axis collectives
-inside the kernel schedule, so their call sites gate off and use the
-sharding-aware dense XLA path instead.
+(n_model > 1) the Megatron-sharded weights dispatch through a
+(data, model) shard_map running the tensor-parallel kernel trio and
+vocab-sharded decode head (ops/decode_flash_tp.py) — model-axis psums
+join the row-parallel partials between kernel launches — whenever the
+sharded dims divide (`tp_flash_ok`); otherwise the sharding-aware dense
+XLA path is used.
 """
 
 from __future__ import annotations
@@ -57,6 +60,38 @@ def dp_only_mesh() -> bool:
 
     mesh = kernel_mesh()
     return mesh is not None and dict(mesh.shape).get(MODEL_AXIS, 1) == 1
+
+
+def tp_flash_ok(cfg) -> bool:
+    """Whether the tensor-parallel fused decode path (ops/decode_flash_tp)
+    can run under the active mesh for this config: every Megatron-sharded
+    dimension must divide n_model (so _TP_RULES actually sharded the
+    weights) and the local head-shard cache width must stay lane-aligned
+    for Mosaic on real TPUs (interpret mode has no such constraint)."""
+    from stjep_tpu.parallel.mesh import MODEL_AXIS
+
+    mesh = kernel_mesh()
+    if mesh is None:
+        return False
+    n = dict(mesh.shape).get(MODEL_AXIS, 1)
+    if n <= 1:
+        return False
+    if (cfg.num_heads % n or cfg.dim_model % n or cfg.dim_feedforward % n
+            or cfg.dec_vocab_size % n):
+        return False
+    if jax.default_backend() != "cpu" and (cfg.dim_model // n) % 128 != 0:
+        return False
+    return True
+
+
+def _tp_param_specs(params, n_model: int):
+    """PartitionSpec pytree matching how mesh.shard_params laid params out
+    (Megatron TP rules for the transformer, replicated otherwise)."""
+    from stjep_tpu.parallel.mesh import param_pspec
+    from stjep_tpu.train.policies import map_with_path
+
+    return map_with_path(
+        params, lambda name, leaf: param_pspec(name, leaf, n_model))
 
 
 def _n_data(mesh: Mesh) -> int:
@@ -145,18 +180,23 @@ def las_greedy_flash_dp(params, cfg, wk, att_values, lens_k, sym0, n_steps,
 
 
 # ---------------------------------------------------------------------------
-# Transformer decode kernels (ops/decode_flash.py) — pure-DP meshes only
+# Transformer decode kernels (ops/decode_flash.py / decode_flash_tp.py)
 # ---------------------------------------------------------------------------
 
 def greedy_decode_flash_dp(params, cfg, enc_outputs, mem_mask_b, length_out,
                            max_time, ref_tokens):
-    """KV-cached fused greedy decode, sharded on the batch axis. Only valid
-    when the transformer weights are replicated (pure-DP mesh); callers
-    gate TP meshes onto the dense XLA path. Per-shard all-EOS early exit
-    matches the reference's per-(sub)batch exit semantics."""
+    """KV-cached fused greedy decode, sharded on the batch axis.
+
+    Pure-DP meshes shard_map over 'data' with replicated weights; meshes
+    with a model axis delegate to the tensor-parallel form (callers gate on
+    tp_flash_ok). Per-shard all-EOS early exit matches the reference's
+    per-(sub)batch exit semantics."""
     from stjep_tpu.models.seq2seq import _greedy_decode_flash
 
     mesh = kernel_mesh()
+    if mesh is not None and not dp_only_mesh():
+        return greedy_decode_flash_tp(params, cfg, enc_outputs, mem_mask_b,
+                                      length_out, max_time, ref_tokens)
     if mesh is None or enc_outputs.shape[0] % _n_data(mesh) != 0:
         return _greedy_decode_flash(params, cfg, enc_outputs, mem_mask_b,
                                     length_out, max_time, ref_tokens)
@@ -172,13 +212,45 @@ def greedy_decode_flash_dp(params, cfg, enc_outputs, mem_mask_b, length_out,
     return fn(params, enc_outputs, mem_mask_b, ref_tokens)
 
 
+def greedy_decode_flash_tp(params, cfg, enc_outputs, mem_mask_b, length_out,
+                           max_time, ref_tokens):
+    """Fused greedy decode over a (data, model) mesh: batch rows shard over
+    'data', and inside each shard the decoder runs the TP kernel trio +
+    vocab-sharded head over 'model' (ops/decode_flash_tp.py). Ragged
+    batches fall back to the unsharded call (XLA replicates)."""
+    from stjep_tpu.models.seq2seq import _greedy_decode_flash
+    from stjep_tpu.parallel.mesh import MODEL_AXIS
+
+    mesh = kernel_mesh()
+    if enc_outputs.shape[0] % _n_data(mesh) != 0:
+        return _greedy_decode_flash(params, cfg, enc_outputs, mem_mask_b,
+                                    length_out, max_time, ref_tokens)
+    n_model = dict(mesh.shape)[MODEL_AXIS]
+
+    def inner(p, enc, mm, refs):
+        return _greedy_decode_flash(p, cfg, enc, mm, length_out, max_time,
+                                    refs, tp_axis=MODEL_AXIS)
+
+    mm_spec = P() if mem_mask_b is None else _b(2, 0)
+    fn = _smap(inner, mesh,
+               (_tp_param_specs(params, n_model), _b(3, 0), mm_spec,
+                _b(2, 0)),
+               (_b(2, 0), _b(2, 0)))
+    return fn(params, enc_outputs, mem_mask_b, ref_tokens)
+
+
 def beam_search_flash_dp(params, cfg, enc_outputs, mem_mask_b, beam_width,
                          penalty_factor, max_seq_len, cache_dtype=None):
-    """Fused beam search, sharded on the utterance axis (pure-DP mesh
-    only — see greedy_decode_flash_dp)."""
+    """Fused beam search, sharded on the utterance axis; meshes with a
+    model axis delegate to the tensor-parallel form (see
+    greedy_decode_flash_dp)."""
     from stjep_tpu.infer.beam import _beam_search_flash
 
     mesh = kernel_mesh()
+    if mesh is not None and not dp_only_mesh():
+        return beam_search_flash_tp(params, cfg, enc_outputs, mem_mask_b,
+                                    beam_width, penalty_factor, max_seq_len,
+                                    cache_dtype=cache_dtype)
     if mesh is None or enc_outputs.shape[0] % _n_data(mesh) != 0:
         return _beam_search_flash(params, cfg, enc_outputs, mem_mask_b,
                                   beam_width, penalty_factor, max_seq_len,
@@ -192,5 +264,32 @@ def beam_search_flash_dp(params, cfg, enc_outputs, mem_mask_b, beam_width,
     mm_spec = P() if mem_mask_b is None else _b(2, 0)
     fn = _smap(inner, mesh,
                (_rep(params), _b(3, 0), mm_spec),
+               (_b(2, 0), _b(1, 0)))
+    return fn(params, enc_outputs, mem_mask_b)
+
+
+def beam_search_flash_tp(params, cfg, enc_outputs, mem_mask_b, beam_width,
+                         penalty_factor, max_seq_len, cache_dtype=None):
+    """Fused beam search over a (data, model) mesh — utterances shard over
+    'data', the decoder/head run tensor-parallel over 'model'."""
+    from stjep_tpu.infer.beam import _beam_search_flash
+    from stjep_tpu.parallel.mesh import MODEL_AXIS
+
+    mesh = kernel_mesh()
+    if enc_outputs.shape[0] % _n_data(mesh) != 0:
+        return _beam_search_flash(params, cfg, enc_outputs, mem_mask_b,
+                                  beam_width, penalty_factor, max_seq_len,
+                                  cache_dtype=cache_dtype)
+    n_model = dict(mesh.shape)[MODEL_AXIS]
+
+    def inner(p, enc, mm):
+        return _beam_search_flash(p, cfg, enc, mm, beam_width,
+                                  penalty_factor, max_seq_len,
+                                  cache_dtype=cache_dtype,
+                                  tp_axis=MODEL_AXIS)
+
+    mm_spec = P() if mem_mask_b is None else _b(2, 0)
+    fn = _smap(inner, mesh,
+               (_tp_param_specs(params, n_model), _b(3, 0), mm_spec),
                (_b(2, 0), _b(1, 0)))
     return fn(params, enc_outputs, mem_mask_b)

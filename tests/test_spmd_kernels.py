@@ -219,7 +219,9 @@ def test_mt_greedy_decode_flash_on_dp_mesh(force_flash):
 
 def test_beam_search_flash_on_dp_mesh(force_flash):
     """Fused beam search under a pure-DP (8, 1) mesh (beam_search_flash_dp)
-    vs single device; a TP mesh must gate off the kernels but still match."""
+    vs single device; the (4, 2) TP mesh branch dispatches the tensor-
+    parallel kernels (dims divide here — see test_tp_decode.py) and must
+    still match."""
     from stjep_tpu.infer.beam import beam_search
 
     cfg = ModelConfig(
