@@ -87,10 +87,12 @@ def analytic_train_flops(cfg, B, T, Ls, Lt):
 V5E_PEAK_FLOPS = 197e12
 
 
-def bench_tpu(n_iters: int = 20, train_iters: int = 10, train_repeats: int = 3):
-    """Returns a dict of measured throughputs (median-based; VERDICT r1 asked
-    for >=20 decode iterations and median/min reporting — 5 iterations over a
-    ~28 ms RTT tunnel was too noisy to compare rounds)."""
+def bench_tpu(train_iters: int = 10, train_repeats: int = 3):
+    """Returns a dict of measured throughputs. All rows are medians over
+    repeated pipelined windows (30 decode batches, 3x10 train steps) —
+    VERDICT r1 asked for >=20 decode iterations and median reporting; the
+    windowing additionally keeps the ~28 ms axon-tunnel round-trip out of
+    the per-batch cost, matching how a real serving/training loop runs."""
     import numpy as np
 
     import jax
@@ -136,21 +138,29 @@ def bench_tpu(n_iters: int = 20, train_iters: int = 10, train_repeats: int = 3):
     ).at[:, 0].set(BOS)
 
     # ---- beam decode (ST: LAS greedy + transformer beam) ----
-    def _measure_decode(cache_dtype, d_feats, d_lens, nb):
+    # Timed like the train step: dispatch a WINDOW of async calls and drain
+    # once at the end. A serving loop pipelines requests the same way; the
+    # earlier per-iteration readback charged one full ~28 ms tunnel
+    # round-trip to every batch (25% of the f32 number) and its jitter
+    # dominated round-to-round comparisons (VERDICT r1 #4).
+    def _measure_decode(cache_dtype, d_feats, d_lens, nb,
+                        win: int = 5, repeats: int = 6):
         dec = jax.jit(partial(
             forward_translate, cfg=cfg, mode="ST", beam_width=b["beam"],
             penalty_factor=1.0, max_seq_len=b["decode_len"],
             cache_dtype=cache_dtype,
         ))
-        out = dec(params, acous_feats=d_feats, acous_lens=d_lens)
-        _ = int(np.asarray(out[0, 0]))  # force completion (compile + run)
-        times = []
-        for _i in range(n_iters):
-            t0 = time.perf_counter()
+        for _w in range(2):  # compile, then absorb layout recompiles
             out = dec(params, acous_feats=d_feats, acous_lens=d_lens)
+            _ = int(np.asarray(out[0, 0]))
+        rates = []
+        for _r in range(repeats):
+            t0 = time.perf_counter()
+            for _i in range(win):
+                out = dec(params, acous_feats=d_feats, acous_lens=d_lens)
             _ = int(np.asarray(out[0, 1]))
-            times.append(time.perf_counter() - t0)
-        return nb / float(np.median(times))
+            rates.append(win * nb / (time.perf_counter() - t0))
+        return float(np.median(rates))
 
     utt_per_s = _measure_decode(None, feats, lens, B)  # f32 parity mode
     utt_per_s_bf16 = _measure_decode(jnp.bfloat16, feats, lens, B)
