@@ -28,6 +28,20 @@ import jax.numpy as jnp
 from stjep_tpu.ops import lstm as lstm_ref
 
 
+def _batch_block(B: int, limit: int = 64) -> int:
+    """Batch rows per grid block. The kernel streams [U, B, Din] input
+    blocks whose VMEM footprint scales with B; past ~64 rows (at the
+    pyramid's Din=1024 layers) the scoped-VMEM limit (18 MB) is exceeded.
+    Chunking the batch over a leading grid dimension caps the working set
+    at the proven 64-row tile while keeping a single pallas launch."""
+    if B <= limit:
+        return B
+    for bb in range(limit, 0, -1):
+        if B % bb == 0:
+            return bb
+    return B
+
+
 def _unroll_of(T: int) -> int:
     """Time-steps per grid iteration. The recurrence is serial, so each
     sub-step's work is a tiny [B, H]x[H, 4H] matmul — per-grid-step fixed
@@ -57,8 +71,11 @@ def _bilstm_kernel(len_ref, xf_ref, xb_ref, wif_ref, wib_ref, bf_ref,
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
 
-    t = pl.program_id(0)
-    Tb = pl.num_programs(0)
+    # grid = (batch blocks, time blocks); time iterates innermost, so the
+    # h/c scratch persists across one batch block's full time sweep and is
+    # re-initialised at t == 0 of the next block.
+    t = pl.program_id(1)
+    Tb = pl.num_programs(1)
     H = hf.shape[-1]
 
     @pl.when(t == 0)
@@ -135,39 +152,45 @@ def _bilstm_pallas_fwd_impl(params_fwd, params_bwd, x, lengths):
     )
     U = _unroll_of(T)
     Tb = T // U
-    grid = (Tb,)
+    Bb = _batch_block(B)
+    grid = (B // Bb, Tb)
     # interpreter mode lets the kernel run (slowly) on CPU for tests
     interpret = jax.default_backend() == "cpu"
     out_f, out_b = pl.pallas_call(
         functools.partial(_bilstm_kernel, unroll=U, fast=not interpret),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((B, 1), lambda t: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((U, B, Din), lambda t: (t, 0, 0),
+            pl.BlockSpec((Bb, 1), lambda b, t: (b, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((U, B, Din), lambda t: (Tb - 1 - t, 0, 0),
+            pl.BlockSpec((U, Bb, Din), lambda b, t: (t, b, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((Din, 4 * H), lambda t: (0, 0),
+            pl.BlockSpec((U, Bb, Din), lambda b, t: (Tb - 1 - t, b, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((Din, 4 * H), lambda t: (0, 0),
+            pl.BlockSpec((Din, 4 * H), lambda b, t: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 4 * H), lambda t: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 4 * H), lambda t: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((H, 4 * H), lambda t: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((H, 4 * H), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Din, 4 * H), lambda b, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4 * H), lambda b, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4 * H), lambda b, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, 4 * H), lambda b, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, 4 * H), lambda b, t: (0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((U, B, H), lambda t: (t, 0, 0),
+            pl.BlockSpec((U, Bb, H), lambda b, t: (t, b, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((U, B, H), lambda t: (Tb - 1 - t, 0, 0),
+            pl.BlockSpec((U, Bb, H), lambda b, t: (Tb - 1 - t, b, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=out_shape,
         scratch_shapes=[
-            pltpu.VMEM((B, H), jnp.float32),
-            pltpu.VMEM((B, H), jnp.float32),
-            pltpu.VMEM((B, H), jnp.float32),
-            pltpu.VMEM((B, H), jnp.float32),
+            pltpu.VMEM((Bb, H), jnp.float32),
+            pltpu.VMEM((Bb, H), jnp.float32),
+            pltpu.VMEM((Bb, H), jnp.float32),
+            pltpu.VMEM((Bb, H), jnp.float32),
         ],
         interpret=interpret,
     )(len2d, xT, xT,

@@ -38,11 +38,13 @@ def _fwd_save_kernel(len_ref, xf_ref, xb_ref, wif_ref, wib_ref, bf_ref,
     hs*_ref[t] = h carry BEFORE step t (i.e. h_{t-1}); cs*_ref[t] = c_{t-1};
     g*_ref[t] = (i,f,g,o) gate values at step t (zero at invalid steps).
     Each grid iteration runs `unroll` consecutive time-steps (serial
-    recurrence; the unroll amortises per-grid-step fixed costs)."""
+    recurrence; the unroll amortises per-grid-step fixed costs). Grid is
+    (batch blocks, time blocks) with time innermost: the h/c scratch spans
+    one batch block's full time sweep, re-initialised at t == 0."""
     from jax.experimental import pallas as pl
 
-    t = pl.program_id(0)
-    Tb = pl.num_programs(0)
+    t = pl.program_id(1)
+    Tb = pl.num_programs(1)
     H = hf.shape[-1]
 
     @pl.when(t == 0)
@@ -103,11 +105,12 @@ def _bwd_kernel(len_ref, gof_ref, gob_ref, hsf_ref, csf_ref, gf_ref,
                 dhf, dcf, dhb, dcb, *, unroll, fast):
     """Reverse-time pass; grid step t processes position block Tb-1-t
     (descending within the block) for the forward direction and block t
-    (ascending) for the backward direction."""
+    (ascending) for the backward direction. Batch blocks iterate on the
+    outer grid dimension (see _fwd_save_kernel)."""
     from jax.experimental import pallas as pl
 
-    t = pl.program_id(0)
-    Tb = pl.num_programs(0)
+    t = pl.program_id(1)
+    Tb = pl.num_programs(1)
     H = dhf.shape[-1]
 
     @pl.when(t == 0)
@@ -184,30 +187,40 @@ def _run_fwd_save(params_fwd, params_bwd, x, lengths):
     len2d = lengths.astype(jnp.int32).reshape(B, 1)
 
     f32 = jnp.float32
-    from stjep_tpu.ops.lstm_pallas import _unroll_of
+    from stjep_tpu.ops.lstm_pallas import _batch_block, _unroll_of
 
     U = _unroll_of(T)
     Tb = T // U
-    step_spec = lambda w: pl.BlockSpec((U, B, w), lambda t: (t, 0, 0),
+    # the training pair streams residuals on top of the inputs, so its
+    # VMEM working set per batch row is larger than the inference forward's
+    # — 32-row blocks leave headroom at the pyramid's Din=1024 layers
+    # (B=64 single-block overflowed the 16 MB scoped limit by 256 KB)
+    Bb = _batch_block(B, limit=32)
+    step_spec = lambda w: pl.BlockSpec((U, Bb, w), lambda b, t: (t, b, 0),
                                        memory_space=pltpu.VMEM)
-    rstep_spec = lambda w: pl.BlockSpec((U, B, w), lambda t: (Tb - 1 - t, 0, 0),
-                                        memory_space=pltpu.VMEM)
+    rstep_spec = lambda w: pl.BlockSpec(
+        (U, Bb, w), lambda b, t: (Tb - 1 - t, b, 0), memory_space=pltpu.VMEM)
     rdt = jnp.float32 if _interpret() else jnp.bfloat16
     outs = pl.pallas_call(
         functools.partial(_fwd_save_kernel, unroll=U,
                           fast=not _interpret()),
-        grid=(Tb,),
+        grid=(B // Bb, Tb),
         in_specs=[
-            pl.BlockSpec((B, 1), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Bb, 1), lambda b, t: (b, 0),
+                         memory_space=pltpu.VMEM),
             step_spec(Din), rstep_spec(Din),
-            pl.BlockSpec((Din, 4 * H), lambda t: (0, 0),
+            pl.BlockSpec((Din, 4 * H), lambda b, t: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((Din, 4 * H), lambda t: (0, 0),
+            pl.BlockSpec((Din, 4 * H), lambda b, t: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 4 * H), lambda t: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 4 * H), lambda t: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((H, 4 * H), lambda t: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((H, 4 * H), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4 * H), lambda b, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4 * H), lambda b, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, 4 * H), lambda b, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, 4 * H), lambda b, t: (0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=(
             step_spec(H), rstep_spec(H),          # out_f, out_b
@@ -224,7 +237,7 @@ def _run_fwd_save(params_fwd, params_bwd, x, lengths):
             jax.ShapeDtypeStruct((T, B, H), rdt),
             jax.ShapeDtypeStruct((T, B, 4 * H), rdt),
         ),
-        scratch_shapes=[pltpu.VMEM((B, H), f32)] * 4,
+        scratch_shapes=[pltpu.VMEM((Bb, H), f32)] * 4,
         interpret=_interpret(),
     )(len2d, xT, xT,
       params_fwd["w_ih"], params_bwd["w_ih"],
@@ -264,21 +277,24 @@ def _tr_bwd(res, g_out):
     go_b = jnp.swapaxes(g_out[..., H:], 0, 1)
 
     # the bwd grid step t handles fwd position block Tb-1-t and bwd block t
-    from stjep_tpu.ops.lstm_pallas import _unroll_of
+    from stjep_tpu.ops.lstm_pallas import _batch_block, _unroll_of
 
     U = _unroll_of(T)
     Tb = T // U
-    fpos = lambda w: pl.BlockSpec((U, B, w), lambda t: (Tb - 1 - t, 0, 0),
+    Bb = _batch_block(B, limit=32)  # match _run_fwd_save's block size
+    fpos = lambda w: pl.BlockSpec(
+        (U, Bb, w), lambda b, t: (Tb - 1 - t, b, 0), memory_space=pltpu.VMEM)
+    bpos = lambda w: pl.BlockSpec((U, Bb, w), lambda b, t: (t, b, 0),
                                   memory_space=pltpu.VMEM)
-    bpos = lambda w: pl.BlockSpec((U, B, w), lambda t: (t, 0, 0),
-                                  memory_space=pltpu.VMEM)
-    wspec = pl.BlockSpec((H, 4 * H), lambda t: (0, 0), memory_space=pltpu.VMEM)
+    wspec = pl.BlockSpec((H, 4 * H), lambda b, t: (0, 0),
+                         memory_space=pltpu.VMEM)
     rdt = f32 if _interpret() else jnp.bfloat16
     (dxp_f, dxp_b) = pl.pallas_call(
         functools.partial(_bwd_kernel, unroll=U, fast=not _interpret()),
-        grid=(Tb,),
+        grid=(B // Bb, Tb),
         in_specs=[
-            pl.BlockSpec((B, 1), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Bb, 1), lambda b, t: (b, 0),
+                         memory_space=pltpu.VMEM),
             fpos(H), bpos(H),
             fpos(H), fpos(H), fpos(4 * H),
             bpos(H), bpos(H), bpos(4 * H),
@@ -289,7 +305,7 @@ def _tr_bwd(res, g_out):
             jax.ShapeDtypeStruct((T, B, 4 * H), rdt),
             jax.ShapeDtypeStruct((T, B, 4 * H), rdt),
         ),
-        scratch_shapes=[pltpu.VMEM((B, H), f32)] * 4,
+        scratch_shapes=[pltpu.VMEM((Bb, H), f32)] * 4,
         interpret=_interpret(),
     )(len2d, go_f, go_b, hs_f, cs_f, g_f, hs_b, cs_b, g_b,
       params_fwd["w_hh"], params_bwd["w_hh"])

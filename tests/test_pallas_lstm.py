@@ -35,6 +35,23 @@ def test_pallas_bilstm_full_length():
                                rtol=1e-5, atol=1e-5)
 
 
+def test_pallas_bilstm_batch_blocks(monkeypatch):
+    """Large batches chunk over a leading grid dimension (serving B>64
+    would exceed scoped VMEM in one block); force 2-row blocks and check
+    parity across block boundaries, including ragged lengths."""
+    import stjep_tpu.ops.lstm_pallas as lp
+
+    monkeypatch.setattr(lp, "_batch_block", lambda B, limit=2: 2)
+    B, T, D, H = 6, 8, 4, 8
+    p = bilstm_init(jax.random.PRNGKey(6), D, H)
+    x = jax.random.normal(jax.random.PRNGKey(7), (B, T, D))
+    lens = jnp.array([8, 5, 3, 8, 1, 6])
+    ref = bilstm(p["fwd"], p["bwd"], x, lengths=lens)
+    pal = lp.bilstm_pallas(p["fwd"], p["bwd"], x, lens)
+    np.testing.assert_allclose(np.asarray(pal), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_pallas_bilstm_gradients():
     """custom_vjp backward (remat through scan) must match scan gradients."""
     B, T, D, H = 2, 6, 4, 8

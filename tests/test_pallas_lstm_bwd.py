@@ -49,6 +49,37 @@ def test_trainable_gradients_match_scan():
                                    rtol=1e-4, atol=1e-5)
 
 
+def test_trainable_batch_blocks(monkeypatch):
+    """Train batches >32 rows chunk over a leading grid dimension (B=64
+    single-block overflowed scoped VMEM at the Din=1024 pyramid layers);
+    force 2-row blocks and check forward AND gradients across block
+    boundaries with ragged lengths."""
+    import stjep_tpu.ops.lstm_pallas as lp
+
+    monkeypatch.setattr(lp, "_batch_block", lambda B, limit=2: 2)
+    B, T, D, H = 6, 8, 4, 8
+    p = bilstm_init(jax.random.PRNGKey(7), D, H)
+    x = jax.random.normal(jax.random.PRNGKey(8), (B, T, D))
+    lens = jnp.array([8, 5, 3, 8, 1, 6])
+
+    def loss_pal(pf, pb, x):
+        return jnp.sum(bilstm_pallas_trainable(pf, pb, x, lens) ** 2)
+
+    def loss_ref(pf, pb, x):
+        return jnp.sum(bilstm(pf, pb, x, lengths=lens) ** 2)
+
+    got = bilstm_pallas_trainable(p["fwd"], p["bwd"], x, lens)
+    ref = bilstm(p["fwd"], p["bwd"], x, lengths=lens)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+    g_pal = jax.grad(loss_pal, argnums=(0, 1, 2))(p["fwd"], p["bwd"], x)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(p["fwd"], p["bwd"], x)
+    for a, b in zip(jax.tree_util.tree_leaves(g_pal),
+                    jax.tree_util.tree_leaves(g_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+
+
 def test_trainable_gradients_full_length():
     B, T, D, H = 2, 6, 4, 8
     p = bilstm_init(jax.random.PRNGKey(5), D, H)
