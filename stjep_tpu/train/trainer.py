@@ -28,7 +28,7 @@ import os
 import sys
 import time
 from functools import partial
-from typing import Dict, Optional
+from typing import Dict, List, Optional
 
 import numpy as np
 
@@ -314,12 +314,27 @@ class Trainer:
         sh = opt_state_shardings(self._tx, params, self._mesh)
         return jax.tree_util.tree_map(jax.device_put, opt_state, sh)
 
-    def _train_batch(self, cfg, params, opt_state, item, step):
+    def _stage_batch(self, item):
+        """Pad/reshape the macro batch and place it on device. Called from
+        the prefetch thread (see _train_epoches) so the host->device
+        transfer (~8 MB/step at flagship shapes) overlaps the previous
+        step's compute instead of serialising with dispatch."""
         macro, n_real = self._device_batch(item, self.batch_size)
         if self._mesh is not None:
             from stjep_tpu.parallel.mesh import shard_batch
 
             macro = shard_batch(macro, self._mesh, batch_axis=1)
+        else:
+            macro = {k: jax.device_put(v) for k, v in macro.items()}
+        return macro, n_real
+
+    def _train_batch(self, cfg, params, opt_state, item, step):
+        # item: raw host batch dict, or an already-staged (macro, n_real)
+        # pair from the prefetch pipeline
+        if isinstance(item, tuple):
+            macro, n_real = item
+        else:
+            macro, n_real = self._stage_batch(item)
         if self._step_fn is None:
             self._step_fn = self._build_step(cfg, self._tx)
         self._root_rng, k = jax.random.split(self._root_rng)
@@ -327,9 +342,11 @@ class Trainer:
         params, opt_state, losses = self._step_fn(
             params, opt_state, macro, k, jnp.float32(lr), jnp.float32(1.0 / n_real)
         )
-        return params, opt_state, {
-            k2: float(v) for k2, v in losses.items()
-        }
+        # losses stay DEVICE scalars: a float() here would block on the step
+        # and pay a host readback every iteration, serialising the dispatch
+        # pipeline (on the axon tunnel that is ~28 ms/step — more than the
+        # step itself). The epoch loop drains them once per print window.
+        return params, opt_state, losses
 
     def _current_lr(self, step: int) -> float:
         if self.lr_warmup_steps != 0:
@@ -511,7 +528,7 @@ class Trainer:
         dev_set = (dev_sets or {}).get(self.DATA_KEY)
         log = self.logger
 
-        print_loss_en = print_loss_de = 0.0
+        loss_window: List[Dict] = []  # device scalars, drained at print time
         step, step_elapsed = start_step, 0
         prev_acc = prev_bleu = 0.0
         count_no_improve = count_num_rollback = 0
@@ -537,7 +554,12 @@ class Trainer:
 
             from stjep_tpu.data.loader import host_prefetch
 
-            batch_stream = host_prefetch(train_set.iter_batches(), size=2)
+            # staging (pad + device_put / shard) runs INSIDE the prefetch
+            # thread: host I/O and the H2D transfer both overlap compute
+            batch_stream = host_prefetch(
+                (self._stage_batch(it) for it in train_set.iter_batches()),
+                size=2,
+            )
             for idx, item in enumerate(batch_stream):
                 step += 1
                 step_elapsed += 1
@@ -546,13 +568,20 @@ class Trainer:
                 params, opt_state, losses = self._train_batch(
                     cfg, params, opt_state, item, step
                 )
-                print_loss_en += losses.get("nll_loss_en", 0.0)
-                print_loss_de += losses.get("nll_loss_de", 0.0)
+                loss_window.append(losses)
 
                 if step % self.print_every == 0 and step_elapsed > self.print_every:
-                    avg_en = print_loss_en / self.print_every
-                    avg_de = print_loss_de / self.print_every
-                    print_loss_en = print_loss_de = 0.0
+                    # one batched drain per window: two stacked sums + two
+                    # scalar readbacks, instead of a blocking readback per
+                    # step (ref divides by print_every regardless of how
+                    # many steps accumulated — trainer_asr.py:367-373)
+                    avg_en = float(jnp.sum(jnp.stack(
+                        [l["nll_loss_en"] for l in loss_window]
+                    ))) / self.print_every
+                    avg_de = float(jnp.sum(jnp.stack(
+                        [l["nll_loss_de"] for l in loss_window]
+                    ))) / self.print_every
+                    loss_window = []
                     log.info(
                         "Progress: %d%%, Train nlll_de: %.4f, nlll_en: %.4f",
                         step / total_steps * 100, avg_de, avg_en,
