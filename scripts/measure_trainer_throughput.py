@@ -11,7 +11,7 @@ The corpus is random (throughput only, nothing to learn) but shaped like
 the flagship bench workload (bench.BENCH): 30k-word src vocab, 200-char
 tgt vocab, <=1500-frame utterances, src<=90 tokens, tgt<=150 tokens.
 
-Usage: python scripts/measure_trainer_throughput.py [workdir] [batch_size]
+Usage: python scripts/measure_trainer_throughput.py [workdir] [batch_size] [dtype]
 """
 
 import json
@@ -101,6 +101,7 @@ def make_flagship_corpus(root: str, bench: dict, seed: int = 0):
 def main():
     work = sys.argv[1] if len(sys.argv) > 1 else "/tmp/stjep_trainer_e2e"
     batch_size = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+    dtype_name = sys.argv[3] if len(sys.argv) > 3 else "float32"
 
     import jax
 
@@ -139,7 +140,10 @@ def main():
         max_seq_len_src=b["max_src"], max_seq_len_tgt=b["decode_len"],
         mode="ASR_ST",
     )
-    params = init_seq2seq(jax.random.PRNGKey(0), cfg)
+    import jax.numpy as jnp
+
+    dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
+    params = init_seq2seq(jax.random.PRNGKey(0), cfg, dtype=dtype)
 
     dev = Dataset(
         path_src=os.path.join(corpus, "dev.src"),
@@ -159,6 +163,7 @@ def main():
         learning_rate=1e-5, learning_rate_init=5e-4, lr_warmup_steps=12000,
         max_count_no_improve=100, seed=0,
         loss_coeff={"nll_asr": 1.0, "nll_st": 1.0},
+        feat_dtype="bfloat16" if dtype_name == "bfloat16" else None,
     )
 
     def force(params):
@@ -192,6 +197,7 @@ def main():
     samples_per_s = step_per_s * batch_size
     out = {
         "batch_size": batch_size,
+        "dtype": dtype_name,
         "n_utterances": N_UTT,
         "steps_per_epoch": steps_per_epoch,
         "warmup_epoch_s": round(warm_s, 1),
@@ -209,7 +215,10 @@ def main():
     if os.path.exists(path):
         with open(path) as f:
             existing = json.load(f)
-    existing["b%d" % batch_size] = out
+    key = "b%d" % batch_size
+    if dtype_name != "float32":
+        key += "_" + dtype_name
+    existing[key] = out
     with open(path, "w") as f:
         json.dump(existing, f, indent=1)
     print("wrote", path)

@@ -338,6 +338,13 @@ def _tr_bwd(res, g_out):
     d_pf["w_hh"] = dwh_f
     d_pb = input_grads(params_bwd, dxp_b)
     d_pb["w_hh"] = dwh_b
+    # cotangent dtypes must match the primal params: the grad-accum scan
+    # carries zeros_like(params), so f32 grads on bf16 params would change
+    # the carry dtype mid-scan (las_tf_flash's bwd does the same cast)
+    d_pf = jax.tree_util.tree_map(lambda g, p: g.astype(p.dtype),
+                                  d_pf, params_fwd)
+    d_pb = jax.tree_util.tree_map(lambda g, p: g.astype(p.dtype),
+                                  d_pb, params_bwd)
     d_x = (jnp.einsum("btf,df->btd", dxp_f, params_fwd["w_ih"],
                       preferred_element_type=f32)
            + jnp.einsum("btf,df->btd", dxp_b, params_bwd["w_ih"],

@@ -107,6 +107,7 @@ class Trainer:
         seed=333,
         acous_bucket=256,
         n_model=1,
+        feat_dtype=None,
     ):
         self.checkpoint_every = checkpoint_every
         self.print_every = print_every
@@ -143,6 +144,15 @@ class Trainer:
         self._eval_fn_cache: Dict = {}
         self._lr_curr = learning_rate_init
         self.n_model = max(1, int(n_model))
+        # host-side staging dtype for acoustic features (None = keep the
+        # loader's float32). bf16 halves the H2D bytes of the dominant
+        # tensor; numerically free in bf16-param mode since the first
+        # consumer is an MXU matmul that reads bf16 operands regardless.
+        if feat_dtype in ("bfloat16", jnp.bfloat16):
+            import ml_dtypes
+
+            feat_dtype = ml_dtypes.bfloat16
+        self.feat_dtype = np.dtype(feat_dtype) if feat_dtype else None
         self._mesh = None
 
     # ----------------------------------------------------------- batches
@@ -320,6 +330,8 @@ class Trainer:
         transfer (~8 MB/step at flagship shapes) overlaps the previous
         step's compute instead of serialising with dispatch."""
         macro, n_real = self._device_batch(item, self.batch_size)
+        if self.feat_dtype is not None and "acous_feat" in macro:
+            macro["acous_feat"] = macro["acous_feat"].astype(self.feat_dtype)
         if self._mesh is not None:
             from stjep_tpu.parallel.mesh import shard_batch
 

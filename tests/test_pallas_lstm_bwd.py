@@ -95,3 +95,26 @@ def test_trainable_gradients_full_length():
         np.asarray(jax.grad(loss_pal)(x)), np.asarray(jax.grad(loss_ref)(x)),
         rtol=1e-4, atol=1e-5,
     )
+
+
+def test_trainable_gradients_bf16_dtypes():
+    """bf16 params must get bf16 cotangents: the trainer's grad-accum scan
+    carries zeros_like(params), so an f32 weight grad would flip the carry
+    dtype mid-scan (TypeError). Values are checked loosely vs the f32 path;
+    the dtype contract is the point."""
+    B, T, D, H = 2, 6, 4, 8
+    p = bilstm_init(jax.random.PRNGKey(7), D, H, dtype=jnp.bfloat16)
+    x = jax.random.normal(jax.random.PRNGKey(8), (B, T, D), jnp.bfloat16)
+    lens = jnp.array([6, 4])
+
+    def loss(pf, pb, x):
+        return jnp.sum(
+            bilstm_pallas_trainable(pf, pb, x, lens).astype(jnp.float32))
+
+    gf, gb, gx = jax.grad(loss, argnums=(0, 1, 2))(p["fwd"], p["bwd"], x)
+    for g, prim in ((gf, p["fwd"]), (gb, p["bwd"])):
+        for k in prim:
+            assert g[k].dtype == prim[k].dtype, k
+    assert gx.dtype == x.dtype
+    for leaf in jax.tree_util.tree_leaves((gf, gb, gx)):
+        assert np.isfinite(np.asarray(leaf, dtype=np.float32)).all()

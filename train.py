@@ -286,6 +286,10 @@ def main():
         loss_coeff=loss_coeff, seed=config['random_seed'],
         acous_bucket=config['acous_bucket'],
         n_model=config['n_model'],
+        # bf16 mode: stage acoustic features in bf16 on the host — half the
+        # H2D bytes of the dominant tensor, numerically free since the MXU
+        # reads bf16 operands either way
+        feat_dtype='bfloat16' if config['dtype'] == 'bfloat16' else None,
     )
 
     train_sets, dev_sets, vocab_set = build_datasets(config, t)
