@@ -121,7 +121,8 @@ def _bilstm_kernel(len_ref, xf_ref, xb_ref, wif_ref, wib_ref, bf_ref,
         valid = lens > t * unroll + u  # [B, 1]
         hf[:] = jnp.where(valid, h_new, hf[:])
         cf[:] = jnp.where(valid, c_new, cf[:])
-        outf_ref[u] = jnp.where(valid, h_new, jnp.zeros_like(h_new))
+        outf_ref[u] = jnp.where(
+            valid, h_new, jnp.zeros_like(h_new)).astype(outf_ref.dtype)
 
         # reverse direction: highest position of block Tb-1-t first
         ub = unroll - 1 - u
@@ -130,7 +131,8 @@ def _bilstm_kernel(len_ref, xf_ref, xb_ref, wif_ref, wib_ref, bf_ref,
         valid_b = lens > (Tb - 1 - t) * unroll + ub
         hb[:] = jnp.where(valid_b, h_new, hb[:])
         cb[:] = jnp.where(valid_b, c_new, cb[:])
-        outb_ref[ub] = jnp.where(valid_b, h_new, jnp.zeros_like(h_new))
+        outb_ref[ub] = jnp.where(
+            valid_b, h_new, jnp.zeros_like(h_new)).astype(outb_ref.dtype)
 
 
 def _bilstm_pallas_fwd_impl(params_fwd, params_bwd, x, lengths):

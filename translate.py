@@ -81,6 +81,9 @@ def _load_model(load_dir):
     return cfg, params, ckpt
 
 
+_FWD_CACHE: dict = {}
+
+
 def translate(test_set, cfg, params, test_path_out, max_seq_len, beam_width,
               seqrev=False, gen_mode='ASR', lm_mode='null', lm_model=None,
               history='HYP', minibatch_size=None, logger_print=print,
@@ -116,11 +119,24 @@ def translate(test_set, cfg, params, test_path_out, max_seq_len, beam_width,
     else:
         lm_fuse = make_ngram_fuser(lm_model, lm_mode)
     cache_dtype = jnp.bfloat16 if beam_cache_dtype == 'bfloat16' else None
-    fwd = jax.jit(partial(
-        forward_translate, cfg=cfg, mode=gen_mode, beam_width=beam_width,
-        penalty_factor=1.0, max_seq_len=max_seq_len, refen=refen,
-        lm_fuse=lm_fuse, cache_dtype=cache_dtype,
-    ))
+    # cache the jitted decode across translate() calls: re-wrapping with
+    # jax.jit discards the wrapper's trace cache, and RE-TRACING the beam
+    # program costs seconds — a serving process that translates stream
+    # after stream would pay it on every call (no-LM path only; lm_fuse
+    # closures are not comparable)
+    fwd_key = None
+    if lm_fuse is None:
+        fwd_key = (repr(cfg), gen_mode, beam_width, max_seq_len, refen,
+                   beam_cache_dtype)
+    fwd = _FWD_CACHE.get(fwd_key)
+    if fwd is None:
+        fwd = jax.jit(partial(
+            forward_translate, cfg=cfg, mode=gen_mode, beam_width=beam_width,
+            penalty_factor=1.0, max_seq_len=max_seq_len, refen=refen,
+            lm_fuse=lm_fuse, cache_dtype=cache_dtype,
+        ))
+        if fwd_key is not None:
+            _FWD_CACHE[fwd_key] = fwd
 
     test_set.construct_batches(is_train=False)
     os.makedirs(test_path_out, exist_ok=True)
@@ -128,46 +144,101 @@ def translate(test_set, cfg, params, test_path_out, max_seq_len, beam_width,
     n_batches = len(test_set)
     logger_print('num batches: {}'.format(n_batches))
 
-    with open(out_path, 'w', encoding='utf8') as f:
+    def _stage(item):
+        """Slice a macro batch into minibatches and place inputs on device.
+        Runs on the prefetch thread so npy I/O and the H2D upload both
+        overlap the decode of earlier minibatches."""
+        B = item['srcid'].shape[0]
+        mb = minibatch_size or B
+        staged = []
+        for st in range(0, B, mb):
+            ed = min(st + mb, B)
+            kwargs = {}
+            if 'acous_feat' in item:
+                from stjep_tpu.ops.masks import bucket_length
+
+                alen = bucket_length(
+                    int(round_up8(int(max(item['acouslen'][st:ed])))), 256)
+                v = item['acous_feat'][st:ed]
+                if alen > v.shape[1]:
+                    v = np.pad(v, [(0, 0), (0, alen - v.shape[1]), (0, 0)])
+                v = v[:, :alen]
+                if cache_dtype is not None:
+                    # the user already opted into bf16 decode state; bf16
+                    # feature staging halves the dominant H2D transfer
+                    import ml_dtypes
+
+                    v = v.astype(ml_dtypes.bfloat16)
+                kwargs['acous_feats'] = jnp.asarray(v)
+                kwargs['acous_lens'] = jnp.asarray(item['acouslen'][st:ed])
+            if gen_mode == 'MT' or refen:
+                kwargs['src'] = jnp.asarray(item['srcid'][st:ed])
+            staged.append(kwargs)
+        return staged
+
+    def _write(preds, f):
+        if gen_mode == 'MT' or 'ST' in gen_mode:
+            seqlist = preds[:, 1:]
+            id2word = test_set.tgt_id2word
+            use_type = 'char'
+        else:  # ASR
+            seqlist = preds
+            id2word = test_set.src_id2word
+            use_type = 'word'
+        words = _convert_to_words_batchfirst(seqlist, id2word)
+        for row in words:
+            f.write('{}\n'.format(
+                detok_words(row, use_type=use_type, seqrev=seqrev)))
+        sys.stdout.flush()
+
+    from collections import deque
+
+    from stjep_tpu.data.loader import host_prefetch
+
+    # software pipeline: keep DEPTH decodes in flight so batch staging,
+    # device compute, the D2H readback, and host detok/writing all overlap
+    # (a blocking per-minibatch readback serialised all four; on a
+    # remote-attached device that alone costs a full RTT per minibatch)
+    DEPTH = max(1, int(os.environ.get('STJEP_DECODE_PIPELINE', '4')))
+
+    timing = os.environ.get('STJEP_TRANSLATE_TIMING') == '1'
+    phase = {'materialise': 0.0, 'stage': 0.0, 'dispatch': 0.0,
+             'drain': 0.0, 'write': 0.0}
+
+    def _timed(key, fn, *a):
+        if not timing:
+            return fn(*a)
+        t0 = time.perf_counter()
+        out = fn(*a)
+        phase[key] += time.perf_counter() - t0
+        return out
+
+    def _minibatches():
         for idx in range(n_batches):
             logger_print(idx + 1, n_batches)
-            item = test_set.materialise_batch(idx)
-            B = item['srcid'].shape[0]
-            mb = minibatch_size or B
-            for st in range(0, B, mb):
-                ed = min(st + mb, B)
-                kwargs = {}
-                if 'acous_feat' in item:
-                    from stjep_tpu.ops.masks import bucket_length
+            item = _timed('materialise', test_set.materialise_batch, idx)
+            for kwargs in _timed('stage', _stage, item):
+                yield kwargs
 
-                    alen = bucket_length(
-                        int(round_up8(int(max(item['acouslen'][st:ed])))), 256)
-                    v = item['acous_feat'][st:ed]
-                    if alen > v.shape[1]:
-                        v = np.pad(v, [(0, 0), (0, alen - v.shape[1]), (0, 0)])
-                    kwargs['acous_feats'] = jnp.asarray(v[:, :alen])
-                    kwargs['acous_lens'] = jnp.asarray(item['acouslen'][st:ed])
-                if gen_mode == 'MT' or refen:
-                    kwargs['src'] = jnp.asarray(item['srcid'][st:ed])
-
+    # DEPTH=0: no prefetch thread, fully inline (diagnostic / single-core
+    # hosts where the producer thread contends with dispatch)
+    stream = (_minibatches() if DEPTH == 0
+              else host_prefetch(_minibatches(), size=DEPTH))
+    pending = deque()
+    with open(out_path, 'w', encoding='utf8') as f:
+        for kwargs in stream:
+            pending.append(_timed('dispatch', lambda: fwd(params, **kwargs)))
+            if len(pending) >= max(DEPTH, 1):
                 time1 = time.time()
-                preds = np.asarray(fwd(params, **kwargs))
+                preds = _timed('drain', np.asarray, pending.popleft())
                 time2 = time.time()
                 logger_print('comp time: ', time2 - time1)
-
-                if gen_mode == 'MT' or 'ST' in gen_mode:
-                    seqlist = preds[:, 1:]
-                    id2word = test_set.tgt_id2word
-                    use_type = 'char'
-                else:  # ASR
-                    seqlist = preds
-                    id2word = test_set.src_id2word
-                    use_type = 'word'
-                words = _convert_to_words_batchfirst(seqlist, id2word)
-                for row in words:
-                    f.write('{}\n'.format(
-                        detok_words(row, use_type=use_type, seqrev=seqrev)))
-                sys.stdout.flush()
+                _timed('write', _write, preds, f)
+        while pending:
+            _write(np.asarray(pending.popleft()), f)
+    if timing:
+        print('translate phases (s):',
+              {k: round(v, 2) for k, v in phase.items()}, flush=True)
     return out_path
 
 
