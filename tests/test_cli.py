@@ -119,3 +119,50 @@ def test_config_roundtrip(tmp_path):
 def test_validate_config_string_booleans():
     cfg = validate_config({"a": "True", "b": "false", "c": "None", "d": "keep"})
     assert cfg == {"a": True, "b": False, "c": None, "d": "keep"}
+
+
+def test_translate_pipeline_depths_and_fwd_cache(corpus, tmp_path):
+    """The pipelined FIFO loop must write rows in the same order as the
+    blocking loop, and repeated translate() calls must reuse one jitted
+    decode program (re-wrapping in jax.jit re-traces seconds of beam
+    program per call in a serving loop)."""
+    import jax
+
+    import translate as tr
+    from stjep_tpu.config import ModelConfig
+    from stjep_tpu.data.dataset import Dataset
+    from stjep_tpu.models.seq2seq import init_seq2seq
+
+    ds = Dataset(
+        path_src=corpus["path_src"], path_tgt=corpus["path_tgt"],
+        path_vocab_src=corpus["path_vocab_src"],
+        path_vocab_tgt=corpus["path_vocab_tgt"],
+        acous_path=corpus["acous_path"], acous_norm=False,
+        acous_max_len=400, use_type="char",
+        max_seq_len_src=16, max_seq_len_tgt=24,
+        batch_size=5, mode="ST", seed=0,
+    )
+    cfg = ModelConfig(
+        enc_vocab_size=len(ds.vocab_src), dec_vocab_size=len(ds.vocab_tgt),
+        enc_embedding_size=8, dec_embedding_size=8, acous_dim=8,
+        acous_hidden_size=4, dim_model=8, dim_feedforward=16, num_heads=2,
+        enc_layers=1, dec_layers=1, num_unilstm_dec=1,
+        max_seq_len_src=16, max_seq_len_tgt=24, mode="ASR_ST",
+    )
+    params = init_seq2seq(jax.random.PRNGKey(0), cfg)
+
+    tr._FWD_CACHE.clear()
+    outs = {}
+    for depth in ("0", "1", "3"):
+        os.environ["STJEP_DECODE_PIPELINE"] = depth
+        try:
+            path = tr.translate(
+                ds, cfg, params, str(tmp_path / ("d" + depth)),
+                max_seq_len=24, beam_width=2, gen_mode="ST",
+                logger_print=lambda *a: None)
+        finally:
+            del os.environ["STJEP_DECODE_PIPELINE"]
+        with open(path, encoding="utf8") as f:
+            outs[depth] = f.read()
+    assert outs["0"] == outs["1"] == outs["3"]
+    assert len(tr._FWD_CACHE) == 1  # one program, reused across calls
