@@ -29,7 +29,11 @@ def load_reference():
         stub.BPEmb = object
         sys.modules["bpemb"] = stub
     if REFERENCE_PATH not in sys.path:
-        sys.path.insert(0, REFERENCE_PATH)
+        # APPEND, never insert(0): the reference also ships top-level
+        # `translate.py` / `train.py`, and fronting its path makes a later
+        # `import translate` in other tests resolve (and cache) the
+        # reference CLI instead of this repo's.
+        sys.path.append(REFERENCE_PATH)
 
     import torch
 
