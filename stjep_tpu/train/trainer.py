@@ -581,6 +581,16 @@ class Trainer:
                     cfg, params, opt_state, item, step
                 )
                 loss_window.append(losses)
+                if len(loss_window) >= 1024:
+                    # bound the window: with print_every > total steps (or a
+                    # silenced log) the list would otherwise retain two live
+                    # device scalars per step for the whole run. Summing is
+                    # associative, so pre-reducing on device (no readback)
+                    # leaves the printed average unchanged.
+                    loss_window = [{
+                        k: jnp.sum(jnp.stack([l[k] for l in loss_window]))
+                        for k in loss_window[0]
+                    }]
 
                 if step % self.print_every == 0 and step_elapsed > self.print_every:
                     # one batched drain per window: two stacked sums + two

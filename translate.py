@@ -49,8 +49,9 @@ def load_arguments(parser):
              'host callback; a {"entries": {(ids...): logp}, "backoffs": '
              '{...}} dict builds an on-device hashed table (no host sync)')
     parser.add_argument('--beam_cache_dtype', type=str, default='float32',
-        help='KV-cache dtype for beam decode: float32 (token-identical to '
-             'the reference) | bfloat16 (~1.5x faster, may flip near-ties)')
+        help='decode dtype: float32 (token-identical to the reference) | '
+             'bfloat16 (~1.5x faster; the KV cache AND the staged acoustic '
+             'features are bf16, so hypotheses may flip near-ties)')
     return parser
 
 
@@ -199,7 +200,7 @@ def translate(test_set, cfg, params, test_path_out, max_seq_len, beam_width,
     # device compute, the D2H readback, and host detok/writing all overlap
     # (a blocking per-minibatch readback serialised all four; on a
     # remote-attached device that alone costs a full RTT per minibatch)
-    DEPTH = max(1, int(os.environ.get('STJEP_DECODE_PIPELINE', '4')))
+    DEPTH = max(0, int(os.environ.get('STJEP_DECODE_PIPELINE', '4')))
 
     timing = os.environ.get('STJEP_TRANSLATE_TIMING') == '1'
     phase = {'materialise': 0.0, 'stage': 0.0, 'dispatch': 0.0,
@@ -235,7 +236,10 @@ def translate(test_set, cfg, params, test_path_out, max_seq_len, beam_width,
                 logger_print('comp time: ', time2 - time1)
                 _timed('write', _write, preds, f)
         while pending:
-            _write(np.asarray(pending.popleft()), f)
+            time1 = time.time()
+            preds = _timed('drain', np.asarray, pending.popleft())
+            logger_print('comp time: ', time.time() - time1)
+            _timed('write', _write, preds, f)
     if timing:
         print('translate phases (s):',
               {k: round(v, 2) for k, v in phase.items()}, flush=True)
