@@ -196,55 +196,47 @@ def bench_tpu(train_iters: int = 10, train_repeats: int = 3):
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
 
+    def _timed_train(step, params, opt_state, args):
+        """One timing protocol for every train row. Warm TWO steps: the
+        first compiles, the second absorbs the one-time recompile when the
+        step's outputs come back with compiler-chosen layouts that differ
+        from the freshly-initialised arrays. Then time the async-dispatched
+        pipeline and drain once per window: a real training loop does not
+        read the loss back every step, and on axon a per-step readback adds
+        a ~28 ms tunnel round-trip to every iteration. Median rate across
+        repeated windows (tunnel speed varies)."""
+        for w in (1, 2):
+            params, opt_state, loss = step(params, opt_state, *args,
+                                           root_key(w))
+            _ = float(loss)
+        rates = []
+        for _r in range(train_repeats):
+            t0 = time.perf_counter()
+            for i in range(train_iters):
+                params, opt_state, loss = step(params, opt_state, *args,
+                                               root_key(i))
+            _ = float(loss)
+            rates.append(train_iters / (time.perf_counter() - t0))
+        return float(np.median(rates))
+
     step = jax.jit(train_step, donate_argnums=(0, 1))
-    # warm TWO steps: the first compiles, the second absorbs the one-time
-    # recompile when the step's outputs come back with compiler-chosen
-    # layouts that differ from the freshly-initialised arrays
-    for w in (1, 2):
-        params, opt_state, loss = step(params, opt_state, feats, lens, src,
-                                       tgt, root_key(w))
-        _ = float(loss)
-    # time the async-dispatched pipeline and drain once at the end: a real
-    # training loop does not read the loss back every step, and on axon a
-    # per-step readback adds a ~28 ms tunnel round-trip to every iteration.
-    # Repeat the window and take the median rate (tunnel speed varies).
-    rates = []
-    for _r in range(train_repeats):
-        t0 = time.perf_counter()
-        for i in range(train_iters):
-            params, opt_state, loss = step(params, opt_state, feats, lens,
-                                           src, tgt, root_key(i))
-        _ = float(loss)
-        rates.append(train_iters / (time.perf_counter() - t0))
-    step_per_s = float(np.median(rates))
+    step_per_s = _timed_train(step, params, opt_state,
+                              (feats, lens, src, tgt))
+    params = opt_state = None  # donated
 
     # ---- bf16 train step (the --dtype bfloat16 CLI path: bf16 params +
     # activations, f32 Adam moments via optax's dtype-preserving update) ----
-    del params, opt_state
     params16 = init_seq2seq(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
     opt_state16 = set_lr(tx.init(params16), 1e-4)
     step16 = jax.jit(train_step, donate_argnums=(0, 1))
-    for w in (1, 2):
-        params16, opt_state16, loss = step16(params16, opt_state16, feats,
-                                             lens, src, tgt,
-                                             root_key(w))
-        _ = float(loss)
-    rates16 = []
-    for _r in range(train_repeats):
-        t0 = time.perf_counter()
-        for i in range(train_iters):
-            params16, opt_state16, loss = step16(params16, opt_state16, feats,
-                                                 lens, src, tgt,
-                                                 root_key(i))
-        _ = float(loss)
-        rates16.append(train_iters / (time.perf_counter() - t0))
-    step_bf16_per_s = float(np.median(rates16))
+    step_bf16_per_s = _timed_train(step16, params16, opt_state16,
+                                   (feats, lens, src, tgt))
+    params16 = opt_state16 = None  # donated
 
     # ---- batch-32 train step: the LSTM recurrences are latency-bound on
     # their dependent chains (README analysis), so doubling rows costs far
     # less than 2x wall time — samples/s demonstrates the headroom recipes
     # get from a larger per-device minibatch
-    del params16, opt_state16
     feats32 = jnp.tile(feats, (2, 1, 1))
     lens32 = jnp.tile(lens, (2,))
     src32 = jnp.tile(src, (2, 1))
@@ -252,20 +244,9 @@ def bench_tpu(train_iters: int = 10, train_repeats: int = 3):
     params32 = init_seq2seq(jax.random.PRNGKey(0), cfg)
     opt_state32 = set_lr(tx.init(params32), 1e-4)
     step32 = jax.jit(train_step, donate_argnums=(0, 1))
-    for w in (1, 2):
-        params32, opt_state32, loss = step32(params32, opt_state32, feats32,
-                                             lens32, src32, tgt32, root_key(w))
-        _ = float(loss)
-    rates32 = []
-    for _r in range(train_repeats):
-        t0 = time.perf_counter()
-        for i in range(train_iters):
-            params32, opt_state32, loss = step32(params32, opt_state32,
-                                                 feats32, lens32, src32,
-                                                 tgt32, root_key(i))
-        _ = float(loss)
-        rates32.append(train_iters / (time.perf_counter() - t0))
-    step_b32_per_s = float(np.median(rates32))
+    step_b32_per_s = _timed_train(step32, params32, opt_state32,
+                                  (feats32, lens32, src32, tgt32))
+    params32 = opt_state32 = None  # donated
 
     flops = analytic_train_flops(cfg, B, b["frames"], b["max_src"],
                                  b["decode_len"])

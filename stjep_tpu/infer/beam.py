@@ -112,29 +112,9 @@ def beam_search(
     TPU and the dense XLA path elsewhere (STJEP_FORCE_FLASH=1 forces the
     kernels in interpret mode on CPU, used by the oracle parity suite)."""
     if use_flash is None:
-        import os
+        from stjep_tpu.parallel.spmd import decode_flash_auto
 
-        from stjep_tpu.ops.decode_flash import flash_supported
-        from stjep_tpu.parallel.spmd import (
-            dp_only_mesh,
-            kernel_mesh,
-            tp_flash_ok,
-        )
-        from stjep_tpu.utils.misc import flash_kernels_disabled
-
-        from stjep_tpu.models.seq2seq import _needs_full_rerun
-
-        # decode_flash reads the transformer weights: batch shard_map under
-        # a pure-DP mesh, the tensor-parallel trio + vocab-sharded head
-        # under a TP mesh when the dims divide (parallel/spmd.py /
-        # ops/decode_flash_tp.py), dense XLA otherwise
-        use_flash = (not flash_kernels_disabled()
-                     and (kernel_mesh() is None or dp_only_mesh()
-                          or tp_flash_ok(cfg))
-                     and not _needs_full_rerun(cfg)
-                     and ((jax.default_backend() != "cpu"
-                           and flash_supported(cfg.dim_model))
-                          or os.environ.get("STJEP_FORCE_FLASH") == "1"))
+        use_flash = decode_flash_auto(cfg)
     if use_flash:
         from stjep_tpu.parallel.spmd import beam_search_flash_dp
 

@@ -511,27 +511,9 @@ def forward_eval(
     length_out_tgt = cfg.max_seq_len_tgt
     max_time = max(UPPERBOUND_SEQ_LEN, length_out_tgt)
     if use_flash is None:
-        import os
+        from stjep_tpu.parallel.spmd import decode_flash_auto
 
-        from stjep_tpu.ops.decode_flash import flash_supported
-        from stjep_tpu.parallel.spmd import (
-            dp_only_mesh,
-            kernel_mesh,
-            tp_flash_ok,
-        )
-        from stjep_tpu.utils.misc import flash_kernels_disabled
-
-        # decode_flash reads the transformer weights: batch shard_map under
-        # a pure-DP mesh, the tensor-parallel trio + vocab-sharded head
-        # under a TP mesh when the dims divide (parallel/spmd.py /
-        # ops/decode_flash_tp.py), dense XLA otherwise
-        use_flash = (not flash_kernels_disabled()
-                     and (kernel_mesh() is None or dp_only_mesh()
-                          or tp_flash_ok(cfg))
-                     and not _needs_full_rerun(cfg)
-                     and ((jax.default_backend() != "cpu"
-                           and flash_supported(cfg.dim_model))
-                          or os.environ.get("STJEP_FORCE_FLASH") == "1"))
+        use_flash = decode_flash_auto(cfg)
 
     def _pick(logps, refs):
         # logps [B, L', V] aligned with refs[:, 1:] (the host previously did
@@ -587,6 +569,28 @@ def forward_eval(
         out["logps_ae"] = logps_ae
         out["preds_ae"] = preds_ae
 
+    def _greedy_head(enc_out, src_mask_input, key):
+        """Shared MT/ST greedy decode: fused kernel when refs are given and
+        the flash gate is on, dense while_loop otherwise; emits preds_<key>
+        plus picked_<key> (with refs) or logps_<key>."""
+        if ref_tgt is not None and use_flash:
+            from stjep_tpu.parallel.spmd import greedy_decode_flash_dp
+
+            preds, picked = greedy_decode_flash_dp(
+                params, cfg, enc_out, src_mask_input[:, 0, :], length_out_tgt,
+                max_time, ref_tgt)
+            out["preds_" + key] = preds
+            out["picked_" + key] = picked[:, 1:][:, : ref_tgt.shape[1] - 1]
+        else:
+            preds, logps = _greedy_decode(
+                params, cfg, enc_out, src_mask_input[:, 0, :], length_out_tgt,
+                max_time)
+            out["preds_" + key] = preds
+            if ref_tgt is not None:
+                out["picked_" + key] = _pick(logps[:, 1:], ref_tgt)
+            else:
+                out["logps_" + key] = logps
+
     if "MT" in mode:
         src_trim = _pre_proc_src(src)
         B, Ls = src_trim.shape
@@ -596,23 +600,7 @@ def forward_eval(
         _, emb_src, src_mask_input = _get_src_emb(params, cfg, src_trim, emb_dyn)
         enc_out = _encoder_en(params, cfg, emb_src, src_mask=src_mask_input)
         out["emb_mt"] = emb_src
-        if ref_tgt is not None and use_flash:
-            from stjep_tpu.parallel.spmd import greedy_decode_flash_dp
-
-            preds, picked = greedy_decode_flash_dp(
-                params, cfg, enc_out, src_mask_input[:, 0, :], length_out_tgt,
-                max_time, ref_tgt)
-            out["preds_mt"] = preds
-            out["picked_mt"] = picked[:, 1:][:, : ref_tgt.shape[1] - 1]
-        else:
-            preds, logps = _greedy_decode(
-                params, cfg, enc_out, src_mask_input[:, 0, :], length_out_tgt,
-                max_time)
-            out["preds_mt"] = preds
-            if ref_tgt is not None:
-                out["picked_mt"] = _pick(logps[:, 1:], ref_tgt)
-            else:
-                out["logps_mt"] = logps
+        _greedy_head(enc_out, src_mask_input, "mt")
 
     if "ST" in mode:
         if "ASR" in mode:
@@ -631,22 +619,6 @@ def forward_eval(
         src_mask_input = _length_src_mask(lengths, emb_src.shape[1])
         enc_out = _encoder_en(params, cfg, emb_src, src_mask=src_mask_input)
         out["emb_st"] = emb_src
-        if ref_tgt is not None and use_flash:
-            from stjep_tpu.parallel.spmd import greedy_decode_flash_dp
-
-            preds, picked = greedy_decode_flash_dp(
-                params, cfg, enc_out, src_mask_input[:, 0, :], length_out_tgt,
-                max_time, ref_tgt)
-            out["preds_st"] = preds
-            out["picked_st"] = picked[:, 1:][:, : ref_tgt.shape[1] - 1]
-        else:
-            preds, logps = _greedy_decode(
-                params, cfg, enc_out, src_mask_input[:, 0, :], length_out_tgt,
-                max_time)
-            out["preds_st"] = preds
-            if ref_tgt is not None:
-                out["picked_st"] = _pick(logps[:, 1:], ref_tgt)
-            else:
-                out["logps_st"] = logps
+        _greedy_head(enc_out, src_mask_input, "st")
 
     return out

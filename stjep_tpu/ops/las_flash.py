@@ -35,6 +35,16 @@ the teacher-forced path.
 
 Gradients: none — this is an inference/eval kernel; training paths keep
 the XLA scan (las_decoder.py routes accordingly).
+
+Precision: on real TPUs the weights/att-values are held in bf16 regardless
+of param dtype — f32 copies of the flagship embedder + output head alone
+(~85 MB) cannot be VMEM-resident. This matches the operand rounding XLA's
+DEFAULT TPU matmul precision applies on the dense path (bf16 MXU inputs,
+f32 accumulation); carries, biases, softmax stats and picked logps stay
+f32. Callers needing strict f32 arithmetic (e.g. bit-parity probes with
+jax_default_matmul_precision=highest) must disable fused kernels via
+STJEP_NO_FLASH=1, which falls back to the XLA scan. CPU interpret mode
+keeps f32, so the oracle parity suites check exact semantics.
 """
 
 from __future__ import annotations

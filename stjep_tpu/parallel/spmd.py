@@ -84,6 +84,29 @@ def tp_flash_ok(cfg) -> bool:
     return True
 
 
+def decode_flash_auto(cfg) -> bool:
+    """Single auto-gate for routing transformer decode (greedy/beam) through
+    the fused kernels: decode_flash reads the transformer weights, so batch
+    shard_map needs a pure-DP mesh (weights replicated) and TP meshes need
+    the tensor-parallel trio (tp_flash_ok); ACT/universal models must re-run
+    the full causal prefix (no KV-cached stepping); on CPU the kernels only
+    run in interpret mode when forced (STJEP_FORCE_FLASH=1, the oracle
+    parity suites)."""
+    import os
+
+    from stjep_tpu.ops.decode_flash import flash_supported
+    from stjep_tpu.utils.misc import flash_kernels_disabled
+
+    from stjep_tpu.models.seq2seq import _needs_full_rerun
+
+    return (not flash_kernels_disabled()
+            and (kernel_mesh() is None or dp_only_mesh() or tp_flash_ok(cfg))
+            and not _needs_full_rerun(cfg)
+            and ((jax.default_backend() != "cpu"
+                  and flash_supported(cfg.dim_model))
+                 or os.environ.get("STJEP_FORCE_FLASH") == "1"))
+
+
 def _tp_param_specs(params, n_model: int):
     """PartitionSpec pytree matching how mesh.shard_params laid params out
     (Megatron TP rules for the transformer, replicated otherwise)."""

@@ -47,10 +47,12 @@ def root_key(seed: int, impl: str = "auto"):
 def flash_kernels_disabled() -> bool:
     """Global kill-switch for the fused Pallas kernels (STJEP_NO_FLASH=1).
 
-    Pallas calls carry no SPMD partitioning rules, so under a >1-device
-    mesh XLA would replicate their operands; the Trainer sets this when it
-    builds a multi-device mesh and every kernel gate honours it. Also a
-    user escape hatch for debugging."""
+    A user escape hatch: every kernel gate honours it, falling back to the
+    dense XLA paths (useful for debugging, and for strict-f32 arithmetic
+    with jax_default_matmul_precision=highest — the LAS decode kernel holds
+    weights in bf16 on real TPUs, see ops/las_flash.py). Meshes no longer
+    need it: parallel/spmd.py dispatches the kernels through shard_map
+    under any mesh shape."""
     import os
 
     return os.environ.get("STJEP_NO_FLASH") == "1"
