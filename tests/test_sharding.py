@@ -163,3 +163,53 @@ def test_graft_entry_compiles():
     fn, args = g.entry()
     out = jax.jit(fn)(*args)
     assert np.isfinite(float(jnp.sum(out["logps_st"])))
+
+
+def test_decode_flash_auto_gate(monkeypatch):
+    """The single auto-gate used by beam_search and forward_eval
+    (parallel/spmd.decode_flash_auto): honours STJEP_NO_FLASH, needs a
+    DP-only or TP-capable mesh, refuses ACT models, and on CPU only runs
+    when forced (interpret mode, used by the oracle parity suites)."""
+    from stjep_tpu.parallel.mesh import make_mesh
+    from stjep_tpu.parallel.spmd import decode_flash_auto, set_kernel_mesh
+
+    cfg = _tiny_cfg()  # dim_model not a multiple of 128 -> needs force on CPU
+    monkeypatch.delenv("STJEP_NO_FLASH", raising=False)
+    monkeypatch.delenv("STJEP_FORCE_FLASH", raising=False)
+
+    assert not decode_flash_auto(cfg)  # CPU backend, not forced
+
+    monkeypatch.setenv("STJEP_FORCE_FLASH", "1")
+    assert decode_flash_auto(cfg)  # forced, no mesh
+
+    monkeypatch.setenv("STJEP_NO_FLASH", "1")
+    assert not decode_flash_auto(cfg)  # kill-switch wins over force
+    monkeypatch.delenv("STJEP_NO_FLASH")
+
+    try:
+        set_kernel_mesh(make_mesh(n_data=8, n_model=1))
+        assert decode_flash_auto(cfg)  # pure-DP mesh: weights replicated
+
+        set_kernel_mesh(make_mesh(n_data=4, n_model=2))
+        # TP mesh with every sharded dim divisible by n_model: TP kernels ok
+        assert decode_flash_auto(cfg)
+
+        import dataclasses
+
+        # heads don't divide n_model -> _TP_RULES never sharded them ->
+        # dense fallback
+        cfg_odd = dataclasses.replace(cfg, num_heads=3)
+        assert not decode_flash_auto(cfg_odd)
+
+        # ACT/universal models must re-run the full causal prefix
+        # (no KV cache) under any mesh
+        cfg_act = dataclasses.replace(
+            cfg, act=True, transformer_type="universal")
+        assert not decode_flash_auto(cfg_act)
+    finally:
+        set_kernel_mesh(None)
+
+    import dataclasses
+
+    cfg_act = dataclasses.replace(cfg, act=True, transformer_type="universal")
+    assert not decode_flash_auto(cfg_act)  # and with no mesh at all
