@@ -44,10 +44,8 @@ from stjep_tpu.models.tf_decoder import (
     TFDecCache,
     tf_decoder_init_cache,
     tf_decoder_init_cache_flash,
-    tf_decoder_step,
     tf_decoder_step_flash,
 )
-from stjep_tpu.ops.attention import linear
 
 
 class BeamState(NamedTuple):
@@ -64,36 +62,6 @@ def _expand_beam(x: jnp.ndarray, beam_width: int) -> jnp.ndarray:
     B = x.shape[0]
     reps = (1, beam_width) + (1,) * (x.ndim - 1)
     return jnp.tile(x[:, None], reps).reshape((B * beam_width,) + x.shape[1:])
-
-
-def _decode_pos(params, cfg, state_tokens, cache, pos, mem_mask, max_time,
-                enc_expand=None):
-    """Embed token at `pos`, run one KV-cached decoder step, return logp.
-
-    ACT models (universal + act) re-run the whole causal-masked buffer
-    instead — halting cannot be KV-cached (see seq2seq._needs_full_rerun);
-    matches the reference's prefix re-run (ref: Seq2seq.py:725-729)."""
-    from stjep_tpu.models.seq2seq import (
-        _decode_logits_full,
-        _embed_tgt_token,
-        _needs_full_rerun,
-    )
-
-    if _needs_full_rerun(cfg):
-        logits = _decode_logits_full(
-            params, cfg, state_tokens, enc_expand, mem_mask, pos, max_time)
-        logp = jax.nn.log_softmax(logits, axis=-1)
-        return logp, cache
-    tok = jax.lax.dynamic_index_in_dim(state_tokens, pos, axis=1, keepdims=False)
-    emb = _embed_tgt_token(params, cfg, tok)[:, None, :]
-    self_mask_k = state_tokens != PAD
-    dec_out, cache = tf_decoder_step(
-        params["dec_tgt"], cfg, emb, cache, pos, mem_mask=mem_mask,
-        self_mask_k=self_mask_k, max_time=max_time,
-    )
-    logits = linear(params["out_tgt"], dec_out[:, 0])
-    logp = jax.nn.log_softmax(logits, axis=-1)
-    return logp, cache
 
 
 def beam_search(
@@ -125,19 +93,25 @@ def beam_search(
     K = beam_width
     BK = B * K
 
+    from stjep_tpu.models.seq2seq import _decode_pos, _needs_full_rerun
+
     enc_expand = _expand_beam(enc_outputs, K)  # [B*K, Lk, D]
     mem_mask = _expand_beam(mem_mask_b, K) if mem_mask_b is not None else None
     max_time = max(max_seq_len, 500)
 
-    cache = tf_decoder_init_cache(params["dec_tgt"], cfg, enc_expand,
-                                  max_seq_len, cache_dtype=cache_dtype)
+    full_rerun = _needs_full_rerun(cfg)
+    # ACT models never read the cache (full causal re-run per step): skip
+    # allocating, carrying, and reordering the per-layer K/V buffers
+    cache = (None if full_rerun else tf_decoder_init_cache(
+        params["dec_tgt"], cfg, enc_expand, max_seq_len,
+        cache_dtype=cache_dtype))
     preds = jnp.full((BK, max_seq_len), PAD, jnp.int32).at[:, 0].set(BOS)
     batch_offset = (jnp.arange(B) * (K * K))[:, None]  # [B,1]
 
     def topk_step(state: BeamState):
         logp, cache = _decode_pos(
             params, cfg, state.preds, state.cache, state.i - 1, mem_mask,
-            max_time, enc_expand=enc_expand,
+            max_time, enc_memory=enc_expand,
         )
         score_k, pred_k = jax.lax.top_k(logp, K)  # [B*K, K]
         return score_k, pred_k.astype(jnp.int32), cache
@@ -193,7 +167,9 @@ def beam_search(
         # prefix back-copy + KV-cache reorder
         preds = s.preds[r_idx]
         preds = jax.lax.dynamic_update_index_in_dim(preds, pred_sel, s.i, axis=1)
-        if cache.self_k[0].dtype == jnp.bfloat16:
+        if full_rerun:
+            pass  # no cache to reorder (full causal re-run reads s.preds)
+        elif cache.self_k[0].dtype == jnp.bfloat16:
             # XLA's row gather is slow here (~15 GB/s effective); a one-hot
             # matmul rides the otherwise-idle MXU at ~3x the speed. For bf16
             # caches the matmul (f32 accumulate, cast back) reproduces each
@@ -358,18 +334,3 @@ def _beam_search_flash(
     preds_out = final.preds.reshape(B, K, Lbuf)[:, 0, :max_seq_len]
     scores_out = final.scores.reshape(B, K)[:, 0]
     return preds_out, scores_out
-
-
-def greedy_search(
-    params: Dict,
-    cfg: ModelConfig,
-    enc_outputs: jnp.ndarray,
-    mem_mask_b: Optional[jnp.ndarray],
-    max_seq_len: int,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """beam_width == 1 fast path sharing the greedy while_loop."""
-    from stjep_tpu.models.seq2seq import _greedy_decode
-
-    max_time = max(max_seq_len, 500)
-    return _greedy_decode(params, cfg, enc_outputs, mem_mask_b, max_seq_len,
-                          max_time)

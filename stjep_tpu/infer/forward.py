@@ -29,8 +29,11 @@ from stjep_tpu.models.seq2seq import (
 
 
 def _encode_for_mode(params, cfg: ModelConfig, mode: str, src, acous_feats,
-                     acous_lens, rng, refen: bool):
-    """Build encoder memory + source mask for each translate mode."""
+                     acous_lens, rng, refen: bool, lm_fuse=None):
+    """Build encoder memory + source mask for each translate mode. The
+    reference threads lm_mode/lm_model into every LAS pass — ST
+    (ref: Seq2seq.py:702), ST_BASE (:752), refen ST (:863) — so the ASR
+    hypotheses feeding the static embeddings are LM-fused too."""
     if mode == "MT":
         src_trim = _pre_proc_src(src)
         B, Ls = src_trim.shape
@@ -47,6 +50,7 @@ def _encode_for_mode(params, cfg: ModelConfig, mode: str, src, acous_feats,
             emb_dyn, _, preds_src, lengths = _encoder_acous(
                 params, cfg, acous_feats, acous_lens, tgt=src,
                 is_training=False, teacher_forcing=True, rng=rng,
+                lm_fuse=lm_fuse,
             )
             static_ids = _pre_proc_src(src)
         else:
@@ -54,7 +58,7 @@ def _encode_for_mode(params, cfg: ModelConfig, mode: str, src, acous_feats,
                 params, cfg, acous_feats, acous_lens, tgt=None,
                 is_training=False, teacher_forcing=False, rng=rng,
                 max_seq_len=cfg.max_seq_len_src, want_logps=False,
-                flash_ok=True,
+                flash_ok=True, lm_fuse=lm_fuse,
             )
             static_ids = preds_src  # hypotheses (ref: Seq2seq.py:703)
         _, emb_src, _ = _get_src_emb(params, cfg, static_ids, emb_dyn)
@@ -67,6 +71,7 @@ def _encode_for_mode(params, cfg: ModelConfig, mode: str, src, acous_feats,
             params, cfg, acous_feats, acous_lens, tgt=None,
             is_training=False, teacher_forcing=False, rng=rng,
             max_seq_len=cfg.max_seq_len_src, want_logps=False, flash_ok=True,
+            lm_fuse=lm_fuse,
         )
         B, Lp = preds_src.shape
         emb_dyn = jnp.broadcast_to(
@@ -101,9 +106,13 @@ def forward_translate(
     [B, max_seq_len] best-beam tokens with leading BOS, PAD-padded."""
     if mode == "ASR":
         if refen:
+            # the reference LM-fuses even the teacher-forced refen pass —
+            # emitted symbols are fused though inputs come from the
+            # reference history (ref: Seq2seq.py:816)
             _, _, preds_src, _ = _encoder_acous(
                 params, cfg, acous_feats, acous_lens, tgt=src,
                 is_training=False, teacher_forcing=True, rng=rng,
+                lm_fuse=lm_fuse,
             )
         else:
             _, _, preds_src, _ = _encoder_acous(
@@ -115,7 +124,8 @@ def forward_translate(
         return preds_src
 
     enc_out, mem_mask_b = _encode_for_mode(
-        params, cfg, mode, src, acous_feats, acous_lens, rng, refen
+        params, cfg, mode, src, acous_feats, acous_lens, rng, refen,
+        lm_fuse=lm_fuse,
     )
     beam_width = max(1, beam_width)
     if beam_width == 1:

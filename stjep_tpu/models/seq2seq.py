@@ -52,9 +52,11 @@ def init_seq2seq(key, cfg: ModelConfig, dtype=jnp.float32) -> Dict:
     )
     if cfg.share_embedder:
         assert cfg.enc_vocab_size == cfg.dec_vocab_size
-        # the reference aliases enc_embedder = dec_embedder
-        # (ref: Seq2seq.py:119-121); pytrees can't alias, so keep one copy
-        # under 'dec_embedder' and alias logically via cfg.share_embedder.
+        # the reference aliases enc_embedder = dec_embedder — ONE parameter
+        # receiving the summed gradient (ref: Seq2seq.py:119-121). Pytrees
+        # can't alias, so _dec_embedder() reads the enc leaf at apply time;
+        # this dec leaf is kept only for checkpoint/converter layout
+        # stability (unused, untrained — zero grads).
         params["dec_embedder"] = params["enc_embedder"]
     else:
         params["dec_embedder"] = embedding_init(
@@ -106,10 +108,18 @@ def _get_src_emb(params, cfg: ModelConfig, src, emb_src_dyn, rng=None,
     return src_mask, emb_src, src_mask_input
 
 
+def _dec_embedder(params, cfg: ModelConfig):
+    """Target embedding table. With share_embedder the reference ties
+    enc/dec to ONE nn.Embedding (summed gradients, ref: Seq2seq.py:119-121);
+    reading the enc leaf here keeps that tying under plain optax — the
+    duplicated dec leaf exists only for checkpoint layout."""
+    return params["enc_embedder"] if cfg.share_embedder else params["dec_embedder"]
+
+
 def _get_tgt_emb(params, cfg: ModelConfig, tgt, rng=None, is_training=False):
     """(tgt_mask [B,L,L], emb_tgt [B,L,D]) — ref: Seq2seq.py:202-211."""
     tgt_mask = pad_mask(tgt) & subsequent_mask(tgt.shape[-1])
-    e = embed(params["dec_embedder"], tgt)
+    e = embed(_dec_embedder(params, cfg), tgt)
     if is_training and cfg.embedding_dropout > 0.0 and rng is not None:
         e = dropout(rng, e, cfg.embedding_dropout, False)
     if cfg.dec_emb_proj_flag:
@@ -119,7 +129,7 @@ def _get_tgt_emb(params, cfg: ModelConfig, tgt, rng=None, is_training=False):
 
 def _embed_tgt_token(params, cfg: ModelConfig, token):
     """Single-position target embedding for incremental decode."""
-    e = embed(params["dec_embedder"], token)
+    e = embed(_dec_embedder(params, cfg), token)
     if cfg.dec_emb_proj_flag:
         e = linear(params["dec_emb_proj"], e)
     return e
@@ -242,7 +252,11 @@ def forward_train(
             emb_dyn_ae = jnp.broadcast_to(
                 dyn_ae[None, None, :], (Bae, Lae, cfg.dim_model)
             )
-            _, emb_ae, _ = _get_src_emb(params, cfg, src_trim_ae, emb_dyn_ae)
+            rng, k_ae = jax.random.split(rng)
+            # embedding dropout like the sibling MT branch — the source
+            # embedding feeds a trained head either way
+            _, emb_ae, _ = _get_src_emb(params, cfg, src_trim_ae, emb_dyn_ae,
+                                        rng=k_ae, is_training=is_training)
         logits_ae, logps_ae, preds_ae = _decoder_en(params, emb_ae)
         out["logps_ae"] = logps_ae
         out["preds_ae"] = preds_ae
@@ -338,6 +352,34 @@ class _GreedyState(NamedTuple):
     cache: object
 
 
+def _decode_pos(params, cfg: ModelConfig, state_tokens, cache, pos, mem_mask,
+                max_time, enc_memory=None):
+    """One decode position: embed the token at `pos`, run a KV-cached
+    decoder step, return (logp [B', V], cache). Shared by the greedy
+    while_loop and the dense beam path (infer/beam.py).
+
+    ACT models (universal + act) re-run the whole causal-masked buffer
+    instead — halting cannot be KV-cached (_needs_full_rerun); matches the
+    reference's prefix re-run (ref: Seq2seq.py:725-729). `cache` passes
+    through untouched (callers skip building one)."""
+    if _needs_full_rerun(cfg):
+        logits = _decode_logits_full(
+            params, cfg, state_tokens, enc_memory, mem_mask, pos, max_time)
+        return jax.nn.log_softmax(logits, axis=-1), cache
+    tok = jax.lax.dynamic_index_in_dim(state_tokens, pos, axis=1,
+                                       keepdims=False)
+    emb = _embed_tgt_token(params, cfg, tok)[:, None, :]  # [B',1,D]
+    # prefix PAD keys are blocked like the reference's pad_mask over the
+    # re-embedded prefix (ref: Seq2seq.py:579, 202-205)
+    self_mask_k = state_tokens != PAD
+    dec_out, cache = tf_decoder_step(
+        params["dec_tgt"], cfg, emb, cache, pos, mem_mask=mem_mask,
+        self_mask_k=self_mask_k, max_time=max_time,
+    )
+    logits = linear(params["out_tgt"], dec_out[:, 0])  # [B', V]
+    return jax.nn.log_softmax(logits, axis=-1), cache
+
+
 def _greedy_decode(params, cfg: ModelConfig, enc_outputs, mem_mask_b,
                    length_out: int, max_time: int):
     """Greedy transformer decode as lax.while_loop with KV cache.
@@ -348,7 +390,11 @@ def _greedy_decode(params, cfg: ModelConfig, enc_outputs, mem_mask_b,
     """
     B = enc_outputs.shape[0]
     V = cfg.dec_vocab_size
-    cache = tf_decoder_init_cache(params["dec_tgt"], cfg, enc_outputs, length_out)
+    full_rerun = _needs_full_rerun(cfg)
+    # ACT models never read the cache (full causal re-run per step) — skip
+    # allocating and carrying the per-layer K/V buffers entirely
+    cache = (None if full_rerun else tf_decoder_init_cache(
+        params["dec_tgt"], cfg, enc_outputs, length_out))
     tokens = jnp.full((B, length_out), PAD, dtype=jnp.int32).at[:, 0].set(BOS)
     logps0 = jnp.full((B, length_out, V), jnp.log(1.0 / V), enc_outputs.dtype)
 
@@ -363,28 +409,11 @@ def _greedy_decode(params, cfg: ModelConfig, enc_outputs, mem_mask_b,
     def cond(s: _GreedyState):
         return (s.i < length_out) & (~jnp.all(s.eos_mask))
 
-    full_rerun = _needs_full_rerun(cfg)
-
     def body(s: _GreedyState):
-        pos = s.i - 1
-        if full_rerun:
-            logits = _decode_logits_full(
-                params, cfg, s.tokens, enc_outputs, mem_mask_b, pos, max_time)
-            cache = s.cache
-        else:
-            tok = jax.lax.dynamic_index_in_dim(s.tokens, pos, axis=1,
-                                               keepdims=False)
-            emb = _embed_tgt_token(params, cfg, tok)[:, None, :]  # [B,1,D]
-            # prefix PAD keys are blocked like the reference's pad_mask over
-            # the re-embedded prefix (ref: Seq2seq.py:579, 202-205)
-            self_mask_k = s.tokens != PAD
-            dec_out, cache = tf_decoder_step(
-                params["dec_tgt"], cfg, emb, s.cache, pos,
-                mem_mask=mem_mask_b, self_mask_k=self_mask_k,
-                max_time=max_time,
-            )
-            logits = linear(params["out_tgt"], dec_out[:, 0])  # [B, V]
-        logp = jax.nn.log_softmax(logits, axis=-1)
+        logp, cache = _decode_pos(
+            params, cfg, s.tokens, s.cache, s.i - 1, mem_mask_b, max_time,
+            enc_memory=enc_outputs,
+        )
         pred = jnp.argmax(logp, axis=-1).astype(jnp.int32)
         tokens = jax.lax.dynamic_update_index_in_dim(s.tokens, pred, s.i, axis=1)
         logps = jax.lax.dynamic_update_index_in_dim(
@@ -496,8 +525,11 @@ def forward_eval(
     ref_src: Optional[jnp.ndarray] = None,
     ref_tgt: Optional[jnp.ndarray] = None,
     use_flash: Optional[bool] = None,
+    lm_fuse=None,
 ) -> Dict[str, jnp.ndarray]:
     """Free-running greedy eval (beam_width=1) — ref: Seq2seq.py:512-638.
+    lm_fuse applies n-gram shallow fusion inside the LAS pass, as the
+    reference's lm_mode/lm_model args do (ref: Seq2seq.py:548,607).
 
     ref_src/ref_tgt (optional reference token ids) switch the per-vocab
     outputs to `picked_*` [B, L-1]: the free-running logp at the reference
@@ -535,7 +567,7 @@ def forward_eval(
             params, cfg, acous_feats, acous_lens, tgt=None, is_training=False,
             teacher_forcing=False, rng=rng, max_seq_len=cfg.max_seq_len_src,
             ref_tokens=ref_src[:, 1:] if ref_src is not None else None,
-            want_logps=ref_src is None, flash_ok=True,
+            want_logps=ref_src is None, flash_ok=True, lm_fuse=lm_fuse,
         )
         out["emb_asr"] = emb_src
         out["preds_asr"] = preds_src
@@ -612,7 +644,7 @@ def forward_eval(
                 params, cfg, acous_feats, acous_lens, tgt=None,
                 is_training=False, teacher_forcing=False, rng=rng,
                 max_seq_len=cfg.max_seq_len_src, want_logps=False,
-                flash_ok=True,
+                flash_ok=True, lm_fuse=lm_fuse,
             )
         # static embeddings looked up from ASR *hypotheses* (ref: Seq2seq.py:608)
         _, emb_src, _ = _get_src_emb(params, cfg, preds_src, emb_src_dyn)

@@ -192,3 +192,45 @@ def test_teacher_forcing_ratio_stochastic_selects_a_branch():
         else:
             raise AssertionError("stochastic TF output matches neither branch")
     assert seen == {"tf", "fr"}, seen
+
+
+def test_share_embedder_ties_gradients():
+    """The reference aliases enc_embedder = dec_embedder — ONE parameter
+    receiving the summed gradient (ref: Seq2seq.py:119-121). Pytrees can't
+    alias, so _dec_embedder() must read the enc leaf: the tgt-side gradient
+    lands on enc_embedder and the duplicated dec leaf stays untrained."""
+    import jax
+
+    from stjep_tpu.models.seq2seq import forward_train, init_seq2seq
+
+    cfg = ModelConfig(
+        enc_vocab_size=16, dec_vocab_size=16, share_embedder=True,
+        enc_embedding_size=8, dec_embedding_size=8, acous_dim=8,
+        acous_hidden_size=8, dim_model=16, dim_feedforward=32, num_heads=2,
+        enc_layers=1, dec_layers=1, num_unilstm_dec=2, spec_aug=False,
+        dropout=0.0, embedding_dropout=0.0,
+        max_seq_len_src=10, max_seq_len_tgt=12, mode="MT",
+    )
+    params = init_seq2seq(jax.random.PRNGKey(0), cfg)
+    src = jnp.full((2, 10), 3, jnp.int32).at[:, 0].set(BOS)
+    tgt = jnp.full((2, 12), 4, jnp.int32).at[:, 0].set(BOS)
+
+    def loss(p):
+        out = forward_train(p, cfg, "MT", src, tgt=tgt,
+                            rng=jax.random.PRNGKey(1), is_training=False)
+        return jnp.sum(out["logps_mt"])
+
+    g = jax.grad(loss)(params)
+    assert np.any(np.asarray(g["enc_embedder"]) != 0.0)
+    # the dec leaf is a layout-compat copy, never read -> zero gradient
+    np.testing.assert_array_equal(np.asarray(g["dec_embedder"]), 0.0)
+
+    # unshared control: the same loss puts nonzero gradient on dec_embedder
+    import dataclasses
+
+    cfg_u = dataclasses.replace(cfg, share_embedder=False)
+    params_u = init_seq2seq(jax.random.PRNGKey(0), cfg_u)
+    gu = jax.grad(lambda p: jnp.sum(forward_train(
+        p, cfg_u, "MT", src, tgt=tgt, rng=jax.random.PRNGKey(1),
+        is_training=False)["logps_mt"]))(params_u)
+    assert np.any(np.asarray(gu["dec_embedder"]) != 0.0)

@@ -221,3 +221,76 @@ def test_table_fuser_in_las_decode_matches_callback():
     np.testing.assert_allclose(np.asarray(out_cb[1]), np.asarray(out_dev[1]),
                                rtol=1e-4, atol=1e-5)
     np.testing.assert_array_equal(np.asarray(out_cb[3]), np.asarray(out_dev[3]))
+
+
+def test_lm_fuse_plumbed_into_st_translate():
+    """The reference threads lm_mode/lm_model into the LAS pass of EVERY
+    translate mode (ref: Seq2seq.py:702,752,816,863), not just ASR: the ASR
+    hypotheses that provide ST's static embeddings must be LM-fused. Pin
+    that a biasing LM changes the ST hypotheses (the fuser is applied, not
+    dropped on the floor)."""
+    from stjep_tpu.config import ModelConfig
+    from stjep_tpu.infer.forward import forward_translate
+    from stjep_tpu.models.seq2seq import init_seq2seq
+
+    cfg = ModelConfig(
+        enc_vocab_size=16, dec_vocab_size=12, enc_embedding_size=8,
+        dec_embedding_size=16, acous_dim=8, acous_hidden_size=8,
+        dim_model=16, dim_feedforward=32, num_heads=2, enc_layers=1,
+        dec_layers=1, num_unilstm_dec=2, spec_aug=False, dropout=0.0,
+        max_seq_len_src=10, max_seq_len_tgt=12, mode="ASR_ST",
+    )
+    params = init_seq2seq(jax.random.PRNGKey(0), cfg)
+    rng = np.random.RandomState(1)
+    feats = jnp.asarray(rng.randn(2, 32, 8).astype(np.float32))
+    lens = jnp.asarray(np.array([32, 24], np.int32))
+
+    class BiasLM:
+        def logscore(self, word, context):
+            return 50.0 if int(word) == 9 else -50.0
+
+    fuse = make_ngram_fuser(BiasLM(), "s-4g_0.9")
+    kw = dict(acous_feats=feats, acous_lens=lens, beam_width=2,
+              penalty_factor=1.0, max_seq_len=12)
+    base = np.asarray(forward_translate(params, cfg, "ST", **kw))
+    for mode in ("ST", "ST_BASE"):
+        fused = np.asarray(
+            forward_translate(params, cfg, mode, lm_fuse=fuse, **kw))
+        assert fused.shape == base.shape
+    # the heavily biased LM must steer the (untrained) ASR hypotheses,
+    # changing the ST translation inputs -> outputs differ from unfused
+    fused_st = np.asarray(
+        forward_translate(params, cfg, "ST", lm_fuse=fuse, **kw))
+    assert not np.array_equal(fused_st, base)
+
+
+def test_lm_fuse_in_forward_eval_asr():
+    """forward_eval accepts lm_fuse like the reference's lm_mode/lm_model
+    (ref: Seq2seq.py:548): the fused greedy ASR hypotheses differ under a
+    strongly biased LM."""
+    from stjep_tpu.config import ModelConfig
+    from stjep_tpu.models.seq2seq import forward_eval, init_seq2seq
+
+    cfg = ModelConfig(
+        enc_vocab_size=16, dec_vocab_size=12, enc_embedding_size=8,
+        dec_embedding_size=16, acous_dim=8, acous_hidden_size=8,
+        dim_model=16, dim_feedforward=32, num_heads=2, enc_layers=1,
+        dec_layers=1, num_unilstm_dec=2, spec_aug=False, dropout=0.0,
+        max_seq_len_src=10, max_seq_len_tgt=12, mode="ASR",
+    )
+    params = init_seq2seq(jax.random.PRNGKey(0), cfg)
+    rng = np.random.RandomState(2)
+    feats = jnp.asarray(rng.randn(2, 32, 8).astype(np.float32))
+    lens = jnp.asarray(np.array([32, 24], np.int32))
+
+    class BiasLM:
+        def logscore(self, word, context):
+            return 50.0 if int(word) == 9 else -50.0
+
+    fuse = make_ngram_fuser(BiasLM(), "s-4g_0.9")
+    base = forward_eval(params, cfg, "ASR", acous_feats=feats,
+                        acous_lens=lens)
+    fused = forward_eval(params, cfg, "ASR", acous_feats=feats,
+                         acous_lens=lens, lm_fuse=fuse)
+    assert not np.array_equal(np.asarray(base["preds_asr"]),
+                              np.asarray(fused["preds_asr"]))
