@@ -657,7 +657,11 @@ def decoder_layer_step_flash(
     BK, _, D = x_new.shape
     L = cache_k.shape[2]
     B, Lk, _ = mem_k.shape
-    blk, bs = stream_blocks(BK, D, jnp.dtype(cache_k.dtype).itemsize)
+    # block sizes follow each stream's own dtype (like the standalone
+    # self_attn_step/cross_attn_step wrappers) so an f32 memory alongside
+    # bf16 self caches keeps the memory scratch inside the VMEM budget
+    blk, _ = stream_blocks(BK, D, jnp.dtype(cache_k.dtype).itemsize)
+    _, bs = stream_blocks(BK, D, jnp.dtype(mem_k.dtype).itemsize)
     assert cache_k.shape[:2] == (group, B) and BK == B * group
     assert anc.shape == (L, BK) and self_mask_k.shape == (L, BK)
     assert mem_mask.shape == (Lk, B)

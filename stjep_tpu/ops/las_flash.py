@@ -112,12 +112,9 @@ def _kernel(lens_ref, sym0_ref, refs_ref, wk_ref, val_ref, emb_ref,
     # 3-layer residual LSTM stack (ref: Dec.py:384-424); input =
     # [emb ; cell_value] via row-split matmuls
     def gates(pre, c):
-        i = jax.nn.sigmoid(pre[:, 0 * Hd:1 * Hd])
-        f = jax.nn.sigmoid(pre[:, 1 * Hd:2 * Hd])
-        g = jnp.tanh(pre[:, 2 * Hd:3 * Hd])
-        o = jax.nn.sigmoid(pre[:, 3 * Hd:4 * Hd])
-        c_new = f * c + i * g
-        return o * jnp.tanh(c_new), c_new
+        from stjep_tpu.ops.lstm import lstm_gates
+
+        return lstm_gates(pre, c, Hd)
 
     # recurrent inputs lane-concatenated: one chained dot per layer
     # (the emb side stays separate — E is not a lane-tile multiple)

@@ -53,12 +53,9 @@ def las_tf_flash_supported(cfg) -> bool:
 
 
 def _gates_fwd(pre, c, H):
-    i = jax.nn.sigmoid(pre[:, 0 * H:1 * H])
-    f = jax.nn.sigmoid(pre[:, 1 * H:2 * H])
-    g = jnp.tanh(pre[:, 2 * H:3 * H])
-    o = jax.nn.sigmoid(pre[:, 3 * H:4 * H])
-    c_new = f * c + i * g
-    return o * jnp.tanh(c_new), c_new, jnp.concatenate([i, f, g, o], axis=-1)
+    from stjep_tpu.ops.lstm import lstm_gates
+
+    return lstm_gates(pre, c, H, with_gates=True)
 
 
 def _mdot(a, w):

@@ -39,15 +39,28 @@ def lstm_init(key, input_size: int, hidden_size: int, dtype=jnp.float32):
     }
 
 
-def _gates(pre: jnp.ndarray, c: jnp.ndarray, hidden_size: int):
-    """Apply (i, f, g, o) gate nonlinearities. pre: [B, 4H]."""
+def lstm_gates(pre: jnp.ndarray, c: jnp.ndarray, hidden_size: int,
+               with_gates: bool = False):
+    """(i, f, g, o) gate nonlinearities in cuDNN gate order — the
+    torch-checkpoint parity contract (train/convert.py maps weights in this
+    order). THE single definition: the Pallas kernels (lstm_pallas,
+    lstm_pallas_bwd, las_flash, las_tf_flash) all call it, so a gate-order
+    or numerics change lands everywhere at once. pre: [B, 4H].
+    Returns (h_new, c_new) or, with_gates=True, (h_new, c_new,
+    concat(i,f,g,o)) for kernels that save gate residuals."""
     i = jax.nn.sigmoid(pre[:, 0 * hidden_size : 1 * hidden_size])
     f = jax.nn.sigmoid(pre[:, 1 * hidden_size : 2 * hidden_size])
     g = jnp.tanh(pre[:, 2 * hidden_size : 3 * hidden_size])
     o = jax.nn.sigmoid(pre[:, 3 * hidden_size : 4 * hidden_size])
     c_new = f * c + i * g
     h_new = o * jnp.tanh(c_new)
+    if with_gates:
+        return h_new, c_new, jnp.concatenate([i, f, g, o], axis=-1)
     return h_new, c_new
+
+
+def _gates(pre: jnp.ndarray, c: jnp.ndarray, hidden_size: int):
+    return lstm_gates(pre, c, hidden_size)
 
 
 def lstm_cell_step(

@@ -86,12 +86,7 @@ def _bilstm_kernel(len_ref, xf_ref, xb_ref, wif_ref, wib_ref, bf_ref,
         cb[:] = jnp.zeros_like(cb)
 
     def step(pre, c):
-        i = jax.nn.sigmoid(pre[:, 0 * H:1 * H])
-        f = jax.nn.sigmoid(pre[:, 1 * H:2 * H])
-        g = jnp.tanh(pre[:, 2 * H:3 * H])
-        o = jax.nn.sigmoid(pre[:, 3 * H:4 * H])
-        c_new = f * c + i * g
-        return o * jnp.tanh(c_new), c_new
+        return lstm_ref.lstm_gates(pre, c, H)
 
     lens = len_ref[:]  # [B, 1] int32
 

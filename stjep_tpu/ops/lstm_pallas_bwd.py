@@ -27,6 +27,8 @@ import functools
 import jax
 import jax.numpy as jnp
 
+from stjep_tpu.ops.lstm import lstm_gates
+
 
 def _fwd_save_kernel(len_ref, xf_ref, xb_ref, wif_ref, wib_ref, bf_ref,
                      bb_ref, whf_ref, whb_ref,
@@ -76,16 +78,10 @@ def _fwd_save_kernel(len_ref, xf_ref, xb_ref, wif_ref, wib_ref, bf_ref,
         hs_ref[row] = h[:].astype(rdt)
         cs_ref[row] = c[:].astype(rdt)
         pre = xp[row] + mm(h[:], wh_ref[:])
-        i = jax.nn.sigmoid(pre[:, 0 * H:1 * H])
-        f = jax.nn.sigmoid(pre[:, 1 * H:2 * H])
-        g = jnp.tanh(pre[:, 2 * H:3 * H])
-        o = jax.nn.sigmoid(pre[:, 3 * H:4 * H])
-        c_new = f * c[:] + i * g
-        h_new = o * jnp.tanh(c_new)
+        h_new, c_new, gcat = lstm_gates(pre, c[:], H, with_gates=True)
         valid = lens > pos
         g_ref[row] = jnp.where(
-            valid, jnp.concatenate([i, f, g, o], axis=-1),
-            jnp.zeros_like(pre)).astype(rdt)
+            valid, gcat, jnp.zeros_like(pre)).astype(rdt)
         h[:] = jnp.where(valid, h_new, h[:])
         c[:] = jnp.where(valid, c_new, c[:])
         out_ref[row] = jnp.where(

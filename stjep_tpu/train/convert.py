@@ -81,9 +81,7 @@ def convert_named_params(
             is_reverse = m.group(3) is not None
             mod_path = parts[:-1]
             val = arr.T if transpose else arr
-            if "acous_enc_l1" in mod_path or any(
-                p.startswith("acous_enc_l") for p in mod_path
-            ):
+            if any(p.startswith("acous_enc_l") for p in mod_path):
                 # pyramid bilstm: las.encoder.acous_enc_l{k}
                 direction = "bwd" if is_reverse else "fwd"
                 path = [p for p in mod_path] + [direction, new_leaf]

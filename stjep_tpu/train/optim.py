@@ -29,14 +29,17 @@ import optax
 from optax import tree_utils as otu
 
 
-def reference_lr(step, init_lr: float, peak_lr: float, warmup_steps: int):
-    """ref: trainer_base.py:135-154. step may be a traced int array."""
+def reference_lr(step, init_lr: float, peak_lr: float,
+                 warmup_steps: int) -> float:
+    """ref: trainer_base.py:135-154. Pure host math: the trainer calls this
+    every step, and jnp scalar ops here would dispatch a device op plus a
+    blocking readback per step (~28 ms on a remote-attached chip)."""
     if warmup_steps <= 0:
-        return jnp.asarray(init_lr, jnp.float32)
-    step = jnp.asarray(step, jnp.float32)
-    warm = step * (peak_lr - init_lr) / warmup_steps + init_lr
-    decay = peak_lr * jnp.where(step > 0, step, 1.0) ** -0.5 * (warmup_steps**0.5)
-    return jnp.where(step <= warmup_steps, warm, decay)
+        return float(init_lr)
+    step = float(step)
+    if step <= warmup_steps:
+        return step * (peak_lr - init_lr) / warmup_steps + init_lr
+    return peak_lr * max(step, 1.0) ** -0.5 * warmup_steps ** 0.5
 
 
 def make_optimizer(

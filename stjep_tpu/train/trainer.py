@@ -115,7 +115,7 @@ class Trainer:
         self.learning_rate = learning_rate
         self.learning_rate_init = learning_rate_init
         self.lr_warmup_steps = lr_warmup_steps
-        if self.lr_warmup_steps == 0:
+        if self.lr_warmup_steps <= 0:
             assert self.learning_rate == self.learning_rate_init
         self.max_grad_norm = max_grad_norm
         self.eval_with_mask = eval_with_mask
@@ -162,7 +162,12 @@ class Trainer:
         reshape to [n_mini, mini, ...]. Padded rows are all-PAD -> masked out
         of every loss."""
         B = item["srcid"].shape[0]
-        n_rows = pad_to
+        mini = self.minibatch_size
+        # pad up to a multiple of the minibatch size: the reference runs a
+        # ragged final minibatch when mini doesn't divide the batch
+        # (ref: trainer_asr.py:215-216, e.g. the CLI defaults 64/20 -> 3);
+        # here the extra rows are all-PAD and masked out of every loss
+        n_rows = ((max(pad_to, B) + mini - 1) // mini) * mini
         out = {}
         for k, v in item.items():
             pad_width = [(0, n_rows - B)] + [(0, 0)] * (v.ndim - 1)
@@ -177,7 +182,6 @@ class Trainer:
             if T > v.shape[1]:
                 out["acous_feat"] = np.pad(
                     v, [(0, 0), (0, T - v.shape[1]), (0, 0)])
-        mini = self.minibatch_size
         n_mini = n_rows // mini
         for k, v in out.items():
             out[k] = v.reshape((n_mini, mini) + v.shape[1:])
@@ -361,7 +365,9 @@ class Trainer:
         return params, opt_state, losses
 
     def _current_lr(self, step: int) -> float:
-        if self.lr_warmup_steps != 0:
+        # warmup_steps <= 0 deactivates the scheduler entirely — the
+        # rollback LR-halving then persists (ref: trainer_base.py:141-143)
+        if self.lr_warmup_steps > 0:
             lr = float(
                 reference_lr(step, self.learning_rate_init, self.learning_rate,
                              self.lr_warmup_steps)

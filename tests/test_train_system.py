@@ -189,3 +189,41 @@ def test_tiny_asr_training_loss_drops(tmp_path):
         if losses0 is None:
             losses0 = losses["nll_loss_en"]
     assert losses["nll_loss_en"] < losses0 * 0.6, (losses0, losses)
+
+
+def test_device_batch_ragged_minibatch_partition(tmp_path):
+    """The CLI defaults (batch_size=64, minibatch_partition=20 -> mini=3)
+    give a partition that does not divide the batch; the reference runs a
+    ragged final minibatch (ref: trainer_asr.py:215-216), here the batch
+    pads to a multiple of mini with all-PAD rows and the loss divisor stays
+    ceil(B/mini)."""
+    t = Trainer_ASR(
+        expt_dir=str(tmp_path / "expt"), batch_size=64,
+        minibatch_partition=20, learning_rate=0.01,
+        learning_rate_init=0.01, lr_warmup_steps=0, seed=0,
+    )
+    assert t.minibatch_size == 3
+    item = {"srcid": np.full((64, 5), 7, np.int32)}
+    macro, n_real = t._device_batch(item, 64)
+    assert macro["srcid"].shape == (22, 3, 5)  # 66 rows = 22 x 3
+    assert n_real == 22.0  # ceil(64/3), the reference divisor
+    assert np.all(macro["srcid"][-1, 1:] == 0)  # padded rows are all-PAD
+
+    # ragged REAL batch (last macro batch of an epoch), mini divides pad_to
+    item2 = {"srcid": np.full((5, 5), 7, np.int32)}
+    macro2, n_real2 = t._device_batch(item2, 64)
+    assert macro2["srcid"].shape == (22, 3, 5)
+    assert n_real2 == 2.0  # ceil(5/3)
+
+
+def test_negative_warmup_disables_scheduler(tmp_path):
+    """warmup_steps <= 0 deactivates the scheduler entirely, so the
+    rollback LR-halving persists (ref: trainer_base.py:141-143)."""
+    for warm in (0, -1):
+        t = Trainer_ASR(
+            expt_dir=str(tmp_path / f"e{warm}"), batch_size=8,
+            minibatch_partition=2, learning_rate=0.1,
+            learning_rate_init=0.1, lr_warmup_steps=warm, seed=0,
+        )
+        t._lr_curr = 0.05  # simulate a rollback halving
+        assert t._current_lr(100) == 0.05
