@@ -99,12 +99,9 @@ def bench_tpu(train_iters: int = 10, train_repeats: int = 3):
 
     # persistent compilation cache: first bench run pays the remote compiles,
     # later runs (and rounds) reuse them
-    try:
-        jax.config.update("jax_compilation_cache_dir",
-                          os.path.join(ROOT, ".jax_cache"))
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
-    except Exception:
-        pass
+    from stjep_tpu.utils.misc import enable_compilation_cache
+
+    enable_compilation_cache()
     import jax.numpy as jnp
     from functools import partial
 

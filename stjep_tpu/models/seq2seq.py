@@ -57,7 +57,9 @@ def init_seq2seq(key, cfg: ModelConfig, dtype=jnp.float32) -> Dict:
         # can't alias, so _dec_embedder() reads the enc leaf at apply time;
         # this dec leaf is kept only for checkpoint/converter layout
         # stability (unused, untrained — zero grads).
-        params["dec_embedder"] = params["enc_embedder"]
+        # jnp.copy: a distinct buffer, not the same Array object — the
+        # donating train step cannot donate one buffer through two leaves
+        params["dec_embedder"] = jnp.copy(params["enc_embedder"])
     else:
         params["dec_embedder"] = embedding_init(
             keys[1], cfg.dec_vocab_size, cfg.dec_embedding_size, dtype

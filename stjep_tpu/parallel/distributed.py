@@ -15,6 +15,7 @@ hand-written communication layer exists or is needed.
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import jax
@@ -31,6 +32,13 @@ def init_distributed(
         try:
             jax.distributed.initialize()
         except Exception:
+            # only safe to swallow when nothing asked for multi-host: a
+            # configured-but-failed bootstrap must not silently degrade to
+            # N independent single-host jobs with diverging checkpoints
+            if any(os.environ.get(k) for k in (
+                    "JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
+                    "JAX_NUM_PROCESSES")):
+                raise
             return  # single host without a coordinator: fine
         return
     jax.distributed.initialize(
@@ -55,7 +63,14 @@ def barrier(name: str = "barrier") -> None:
 
 
 def local_batch_slice(global_batch: int) -> slice:
-    """The row range of the global batch this host should feed."""
-    per_host = global_batch // jax.process_count()
+    """The row range of the global batch this host should feed. The global
+    batch must divide evenly — per-host shards assemble one fixed-shape
+    global array, so silently dropping remainder rows would lose data on
+    every step."""
+    n = jax.process_count()
+    assert global_batch % n == 0, (
+        f"global batch {global_batch} must be a multiple of "
+        f"process_count {n} (pick batch_size = k * {n})")
+    per_host = global_batch // n
     start = jax.process_index() * per_host
     return slice(start, start + per_host)

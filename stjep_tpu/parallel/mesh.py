@@ -104,8 +104,6 @@ def param_shardings(params: Any, mesh: Mesh):
 
 def batch_sharding(mesh: Mesh, batch_axis: int = 0):
     """NamedSharding for a batch array with the batch dim on 'data'."""
-    spec = [None] * 8
-    spec[batch_axis] = DATA_AXIS
     return lambda ndim: NamedSharding(
         mesh, P(*([DATA_AXIS if i == batch_axis else None for i in range(ndim)]))
     )

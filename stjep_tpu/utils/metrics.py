@@ -41,8 +41,10 @@ def corpus_bleu(
 
     for cand, refs in zip(candidate_corpus, references_corpus):
         cand_len += len(cand)
-        # closest reference length
-        ref_len += min((abs(len(r) - len(cand)), len(r)) for r in refs)[1]
+        # closest reference length; key-based min keeps the FIRST reference
+        # on ties like torchtext (a tuple-min would pick the shortest,
+        # changing the brevity penalty for multi-reference corpora)
+        ref_len += len(min(refs, key=lambda r: abs(len(r) - len(cand))))
 
         cand_counts = _ngram_counts(cand, max_n)
         max_ref = collections.Counter()

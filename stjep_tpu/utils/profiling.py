@@ -31,12 +31,19 @@ class StepTimer:
 
     def stop(self, result_leaf=None) -> float:
         if result_leaf is not None:
-            np.asarray(result_leaf).ravel()[:1]  # force completion
+            # force completion via ONE element: np.asarray on the whole
+            # array would D2H the full buffer (megabytes over a remote
+            # tunnel), timing the transfer instead of the step
+            flat = result_leaf.ravel() if hasattr(result_leaf, "ravel") \
+                else np.asarray(result_leaf).ravel()
+            np.asarray(flat[:1])
         dt = time.perf_counter() - self._t0
         self.times.append(dt)
         return dt
 
     def summary(self) -> Dict[str, float]:
+        if not self.times:
+            return {"mean_s": 0.0, "p50_s": 0.0, "p95_s": 0.0, "steps": 0}
         arr = np.asarray(self.times[1:] or self.times)  # drop compile lap
         return {
             "mean_s": float(arr.mean()),

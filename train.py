@@ -329,6 +329,14 @@ def main():
         mat = load_pretrained_embedding(
             vocab_set.tgt_word2id, mat, config['load_embedding_tgt'])
         params['dec_embedder'] = jnp.asarray(mat, dtype=dtype)
+    if cfg.share_embedder:
+        # the reference rebinds enc_embedder = dec_embedder AFTER the
+        # overlays (ref: Seq2seq.py:119-121): the tgt-side table wins and a
+        # src-side overlay is discarded. The live (read) leaf in this
+        # rebuild is enc_embedder (models/seq2seq._dec_embedder). jnp.copy:
+        # distinct buffers, or the donating train step would donate one
+        # buffer through two leaves.
+        params['enc_embedder'] = jnp.copy(params['dec_embedder'])
 
     # average dynamic embedding artifact (explicit, ref: Seq2seq.py:64-66)
     if config.get('emb_dyn_ave'):

@@ -395,7 +395,15 @@ def main():
 
     lm_model = None
     lm_mode = config['lm_mode']
-    if lm_mode != 'null' and lm_mode.split('_')[0] == 's-4g':
+    if lm_mode != 'null' and lm_mode is not None:
+        if lm_mode.split('_')[0] != 's-4g':
+            # fail loudly like the reference (assert False for s-rnn,
+            # ref: translate.py:94-96); silently decoding with NO fusion
+            # would misattribute the scores to the requested LM
+            raise NotImplementedError(
+                f"lm_mode {lm_mode!r}: only 'null' and 's-4g[_alpha]' are "
+                "supported (the reference's s-rnn/d branches are "
+                "non-functional too)")
         import dill
 
         assert config['lm_path'] is not None, '--lm_path required for s-4g'
@@ -410,6 +418,9 @@ def main():
                   lm_mode=lm_mode, lm_model=lm_model, history=history,
                   beam_cache_dtype=config['beam_cache_dtype'])
     elif MODE == 2:
+        assert config['combine_path'], (
+            "--eval_mode 2 (checkpoint combine/average) requires "
+            "--combine_path <dir of checkpoints>")
         out = Checkpoint(
             params=params, opt_state=None, epoch=0, step=0,
             input_vocab=test_set.vocab_src, output_vocab=test_set.vocab_tgt,
