@@ -121,29 +121,51 @@ def get_native_loader() -> Optional[NativeLoader]:
 
 def host_prefetch(batch_iter, size: int = 2):
     """Background-thread host-side prefetch: overlaps npy I/O + batch
-    assembly with device compute (the reference's loader is synchronous)."""
+    assembly with device compute (the reference's loader is synchronous).
+    Producer exceptions re-raise on the consumer side; abandoning the
+    generator early (break / exception in the consumer) unblocks and stops
+    the producer instead of leaving it parked on a full queue holding
+    batches for the life of the process."""
     q: "queue.Queue" = queue.Queue(maxsize=size)
     _END = object()
     err = []
+    stop = threading.Event()
 
     def producer():
         try:
             for item in batch_iter:
-                q.put(item)
+                while not stop.is_set():
+                    try:
+                        q.put(item, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
+                if stop.is_set():
+                    return
         except BaseException as e:  # surfaced on the consumer side
             err.append(e)
         finally:
-            q.put(_END)
+            # deliver _END (the consumer may still be draining a full
+            # queue); give up only once the consumer abandoned us
+            while not stop.is_set():
+                try:
+                    q.put(_END, timeout=0.1)
+                    break
+                except queue.Full:
+                    continue
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is _END:
-            if err:
-                raise err[0]
-            break
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is _END:
+                if err:
+                    raise err[0]
+                break
+            yield item
+    finally:
+        stop.set()
 
 
 def prefetch_to_device(
@@ -153,32 +175,16 @@ def prefetch_to_device(
     sharding=None,
 ) -> Iterator[Dict]:
     """Background-thread prefetcher: materialises host batches and stages
-    them onto the device (or sharding) ahead of consumption."""
+    them onto the device (or sharding) ahead of consumption. Same
+    error/abandonment semantics as host_prefetch — a producer exception
+    re-raises on the consumer side rather than silently truncating the
+    epoch."""
     import jax
 
-    q: "queue.Queue" = queue.Queue(maxsize=size)
-    _END = object()
+    def stage(item):
+        tgt = sharding if sharding is not None else device
+        if tgt is not None:
+            return {k: jax.device_put(v, tgt) for k, v in item.items()}
+        return {k: jax.device_put(v) for k, v in item.items()}
 
-    def put(item):
-        if sharding is not None:
-            staged = {k: jax.device_put(v, sharding) for k, v in item.items()}
-        elif device is not None:
-            staged = {k: jax.device_put(v, device) for k, v in item.items()}
-        else:
-            staged = {k: jax.device_put(v) for k, v in item.items()}
-        q.put(staged)
-
-    def producer():
-        try:
-            for item in batch_iter:
-                put(item)
-        finally:
-            q.put(_END)
-
-    t = threading.Thread(target=producer, daemon=True)
-    t.start()
-    while True:
-        item = q.get()
-        if item is _END:
-            break
-        yield item
+    return host_prefetch((stage(item) for item in batch_iter), size=size)
