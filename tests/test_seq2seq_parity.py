@@ -184,3 +184,65 @@ def test_ae_head_logps_match_reference(setup):
     _, logps, preds = _decoder_en(params, jnp.asarray(emb))
     np.testing.assert_allclose(np.asarray(logps), logps_t, atol=2e-6)
     np.testing.assert_array_equal(np.asarray(preds), logps_t.argmax(-1))
+
+
+def test_shared_embedder_mt_parity():
+    """share_embedder=True through the converter: the reference rebinds
+    enc_embedder = dec_embedder to ONE module (ref: Seq2seq.py:119-121);
+    the rebuild reads the enc leaf for both sides (_dec_embedder). MT
+    teacher-forced logps and greedy preds must match the oracle."""
+    load_reference()
+    torch.manual_seed(3)
+    emb_dyn_ave = np.random.RandomState(11).randn(DIM).astype(np.float32)
+    with mock.patch("numpy.load", return_value=emb_dyn_ave):
+        from models.Seq2seq import Seq2seq
+
+        ref = Seq2seq(
+            20, 20, share_embedder=True,
+            enc_embedding_size=DIM, dec_embedding_size=DIM,
+            max_seq_len_src=10, max_seq_len_tgt=12,
+            num_heads=4, dim_model=DIM, dim_feedforward=32,
+            enc_layers=2, dec_layers=2, embedding_dropout=0.0, dropout=0.0,
+            act=False, transformer_type="standard",
+            acous_dim=6, acous_hidden_size=5, mode="MT", load_mode="null",
+        )
+    ref.eval()
+    assert ref.enc_embedder is ref.dec_embedder  # truly one module
+
+    cfg = ModelConfig(
+        enc_vocab_size=20, dec_vocab_size=20, share_embedder=True,
+        enc_embedding_size=DIM, dec_embedding_size=DIM,
+        acous_dim=6, acous_hidden_size=5, dim_model=DIM, dim_feedforward=32,
+        num_heads=4, enc_layers=2, dec_layers=2, num_unilstm_dec=3,
+        spec_aug=False, dropout=0.0, embedding_dropout=0.0,
+        max_seq_len_src=10, max_seq_len_tgt=12, mode="MT",
+    )
+    params = convert_torch_model(ref, cfg)
+    np.testing.assert_array_equal(
+        np.asarray(params["enc_embedder"]), np.asarray(params["dec_embedder"])
+    )
+
+    rng = np.random.RandomState(4)
+    src = rng.randint(5, 20, size=(2, 10)).astype(np.int64)
+    src[:, 0] = BOS
+    src[:, 7] = EOS
+    src[:, 8:] = PAD
+    tgt = rng.randint(5, 20, size=(2, 12)).astype(np.int64)
+    tgt[:, 0] = BOS
+    tgt[:, 9] = EOS
+    tgt[:, 10:] = PAD
+    with torch.no_grad():
+        ref_out = ref.forward_train(
+            torch.tensor(src), tgt=torch.tensor(tgt), mode="MT", use_gpu=False
+        )
+    out = forward_train(
+        params, cfg, "MT", jnp.asarray(src), tgt=jnp.asarray(tgt),
+        is_training=False,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["logps_mt"]), ref_out["logps_mt"].numpy(),
+        rtol=1e-3, atol=1e-5,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out["preds_mt"]), ref_out["preds_mt"].squeeze(-1).numpy()
+    )
