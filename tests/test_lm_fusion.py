@@ -294,3 +294,38 @@ def test_lm_fuse_in_forward_eval_asr():
                          acous_lens=lens, lm_fuse=fuse)
     assert not np.array_equal(np.asarray(base["preds_asr"]),
                               np.asarray(fused["preds_asr"]))
+
+
+def test_lm_fuse_in_refen_asr_translate():
+    """refen ASR passes lm_fuse into the teacher-forced LAS like the
+    reference (ref: Seq2seq.py:816): emitted symbols are fused though the
+    inputs come from the reference history."""
+    from stjep_tpu.config import BOS, ModelConfig
+    from stjep_tpu.infer.forward import forward_translate_refen
+    from stjep_tpu.models.seq2seq import init_seq2seq
+
+    cfg = ModelConfig(
+        enc_vocab_size=16, dec_vocab_size=12, enc_embedding_size=8,
+        dec_embedding_size=16, acous_dim=8, acous_hidden_size=8,
+        dim_model=16, dim_feedforward=32, num_heads=2, enc_layers=1,
+        dec_layers=1, num_unilstm_dec=2, spec_aug=False, dropout=0.0,
+        max_seq_len_src=10, max_seq_len_tgt=12, mode="ASR",
+    )
+    params = init_seq2seq(jax.random.PRNGKey(0), cfg)
+    rng = np.random.RandomState(3)
+    feats = jnp.asarray(rng.randn(2, 32, 8).astype(np.float32))
+    lens = jnp.asarray(np.array([32, 24], np.int32))
+    src = jnp.asarray(rng.randint(5, 16, size=(2, 10)).astype(np.int32))
+    src = src.at[:, 0].set(BOS)
+
+    class BiasLM:
+        def logscore(self, word, context):
+            return 50.0 if int(word) == 9 else -50.0
+
+    fuse = make_ngram_fuser(BiasLM(), "s-4g_0.9")
+    kw = dict(src=src, acous_feats=feats, acous_lens=lens, beam_width=1,
+              penalty_factor=1.0, max_seq_len=12)
+    base = np.asarray(forward_translate_refen(params, cfg, "ASR", **kw))
+    fused = np.asarray(
+        forward_translate_refen(params, cfg, "ASR", lm_fuse=fuse, **kw))
+    assert not np.array_equal(base, fused)
