@@ -1,0 +1,25 @@
+#!/bin/bash
+# One-shot TPU revalidation after source changes or a service outage:
+#   1. tiny-op probe (fails fast if the axon service is still down)
+#   2. kernel sanity at flagship shapes (flash vs XLA beam)
+#   3. full benchmark line
+#   4. serving batch sweep
+# Run WITHOUT timeout(1) — a killed client wedges the single-tenant
+# device (CLAUDE.md). Logs land in /tmp/reval_*.log.
+set -e
+export PYTHONPATH=/root/repo:/root/.axon_site
+
+echo "[1/4] probe"
+python -c "
+import jax, jax.numpy as jnp
+print('probe:', float(jnp.sum(jnp.ones((8,8)))), jax.devices())
+" 2>&1 | tail -1
+
+echo "[2/4] kernel sanity (check_flash_tpu)"
+python /root/repo/scripts/check_flash_tpu.py 2>&1 | tail -5 | tee /tmp/reval_flash.log
+
+echo "[3/4] bench"
+python /root/repo/bench.py 2>&1 | tail -1 | tee /tmp/reval_bench.log
+
+echo "[4/4] serving batch sweep"
+python /root/repo/scripts/probe_serving_batch.py 2>&1 | tee /tmp/reval_serving.log
