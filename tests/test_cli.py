@@ -166,3 +166,32 @@ def test_translate_pipeline_depths_and_fwd_cache(corpus, tmp_path):
             outs[depth] = f.read()
     assert outs["0"] == outs["1"] == outs["3"]
     assert len(tr._FWD_CACHE) == 1  # one program, reused across calls
+
+
+def test_translate_cli_unsupported_lm_mode_fails_loudly(trained, tmp_path):
+    """lm_mode s-rnn/d must error (the reference asserts for s-rnn;
+    silently decoding with NO fusion misattributes scores to the LM)."""
+    corpus, latest = trained
+    r = _run([
+        "translate.py", "--test_path_src", corpus["path_src"],
+        "--test_path_tgt", corpus["path_tgt"],
+        "--test_acous_path", corpus["acous_path"],
+        "--load", latest, "--test_path_out", str(tmp_path / "o"),
+        "--eval_mode", "1", "--gen_mode", "ASR", "--lm_mode", "d",
+        "--batch_size", "6", "--beam_width", "1", "--max_seq_len", "16",
+    ])
+    assert r.returncode != 0
+    assert "lm_mode" in r.stderr
+
+
+def test_translate_cli_mode2_requires_combine_path(trained, tmp_path):
+    corpus, latest = trained
+    r = _run([
+        "translate.py", "--test_path_src", corpus["path_src"],
+        "--test_path_tgt", corpus["path_tgt"],
+        "--test_acous_path", corpus["acous_path"],
+        "--load", latest, "--test_path_out", str(tmp_path / "o"),
+        "--eval_mode", "2", "--batch_size", "6",
+    ])
+    assert r.returncode != 0
+    assert "combine_path" in r.stderr
