@@ -96,7 +96,10 @@ def measure(B, dtype, iters=10, repeats=3):
 
 
 if __name__ == "__main__":
-    for B in (16, 32, 64):
+    import os
+    batches = tuple(int(x) for x in
+                    os.environ.get("PROBE_BATCHES", "16,32,64").split(","))
+    for B in batches:
         for dtype in (jnp.float32, jnp.bfloat16):
             try:
                 measure(B, dtype)

@@ -34,7 +34,7 @@ cfg = ModelConfig(
 )
 params = init_seq2seq(jax.random.PRNGKey(0), cfg, dtype=DTYPE)
 
-B, frames = 16, 1504
+B, frames = int(os.environ.get("PROF_BATCH", "16")), 1504
 rng = np.random.RandomState(0)
 feats = jnp.asarray(rng.randn(B, frames, 40).astype(np.float32)).astype(DTYPE)
 lens_np = rng.randint(frames // 2, frames - 8, size=(B,)).astype(np.int32)

@@ -85,18 +85,23 @@ def scaled_dot_attention(
     rng=None,
     deterministic: bool = True,
 ):
-    """q,k,v: [B, n, L, d]. mask broadcastable to [B, 1, Lq, Lk]; 0 = blocked.
+    """q,k,v: [B, L, n, d] — heads stay where the projection reshape put
+    them; the einsums carry the head axis so no [B,n,L,d] relayout is ever
+    materialised (the 4 transposes cost ~10% of the decoder fwd+bwd at
+    bench shapes, scripts/probe_tfdec_ablation.py). mask broadcastable to
+    [B, 1, Lq, Lk]; 0 = blocked. Returns (out [B, Lq, n, d], attn
+    [B, n, Lq, Lk]).
 
     ref: modules/layers.py:200-229 (ScaledDotProductAttention).
     """
-    attn = jnp.einsum("bnqd,bnkd->bnqk", q / temperature, k)
+    attn = jnp.einsum("bqnd,bknd->bnqk", q / temperature, k)
     if prior_weight is not None:
         attn = attn * prior_weight
     if mask is not None:
         attn = jnp.where(mask == 0, ATTN_MASK_FILL, attn)
     attn = jax.nn.softmax(attn, axis=-1)
     attn = dropout(rng, attn, ATTN_DROPOUT, deterministic)
-    out = jnp.einsum("bnqk,bnkd->bnqd", attn, v)
+    out = jnp.einsum("bnqk,bknd->bqnd", attn, v)
     return out, attn
 
 
@@ -120,9 +125,13 @@ def mha(
     residual = q
     qn = layer_norm(params["layer_norm"], q, eps=1e-6)
 
-    qh = _split_heads(linear(params["w_qs"], qn), n_head)
-    kh = _split_heads(linear(params["w_ks"], k), n_head)
-    vh = _split_heads(linear(params["w_vs"], v), n_head)
+    def heads(x):  # [B, L, n*d] -> [B, L, n, d]: reshape only, no transpose
+        b, l, _ = x.shape
+        return x.reshape(b, l, n_head, -1)
+
+    qh = heads(linear(params["w_qs"], qn))
+    kh = heads(linear(params["w_ks"], k))
+    vh = heads(linear(params["w_vs"], v))
 
     if mask is not None and mask.ndim == 3:
         mask = mask[:, None, :, :]  # broadcast over heads
@@ -134,9 +143,22 @@ def mha(
         qh, kh, vh, d_k**0.5, mask=mask, prior_weight=prior_weight,
         rng=r1, deterministic=deterministic,
     )
-    out = linear(params["fc"], _merge_heads(out))
+    b, lq = out.shape[0], out.shape[1]
+    out = linear(params["fc"], out.reshape(b, lq, -1))
     out = dropout(r2, out, dropout_rate, deterministic)
     return out + residual, attn
+
+
+def _sdpa_nld(q, k, v, temperature, mask=None):
+    """Attention in the KV-cache layout: q,k,v [B, n, L, d] (eval step paths;
+    the caches are stored head-major so the full-sequence blnd layout does
+    not apply). Deterministic — decode never drops attention weights."""
+    attn = jnp.einsum("bnqd,bnkd->bnqk", q / temperature, k)
+    if mask is not None:
+        attn = jnp.where(mask == 0, ATTN_MASK_FILL, attn)
+    attn = jax.nn.softmax(attn, axis=-1)
+    out = jnp.einsum("bnqk,bnkd->bnqd", attn, v)
+    return out, attn
 
 
 class KVCache(NamedTuple):
@@ -180,7 +202,7 @@ def mha_self_step(
     else:
         mask = valid[None, None, None, :]
 
-    out, _ = scaled_dot_attention(qh, k, v, d_k**0.5, mask=mask, deterministic=True)
+    out, _ = _sdpa_nld(qh, k, v, d_k**0.5, mask=mask)
     out = linear(params["fc"], _merge_heads(out))
     return out + residual, KVCache(k=k, v=v)
 
@@ -326,9 +348,7 @@ def mha_cross_step(
     qn = layer_norm(params["layer_norm"], x_new, eps=1e-6)
     qh = _split_heads(linear(params["w_qs"], qn), n_head)
     mask = mem_mask[:, None, None, :] if mem_mask is not None else None
-    out, _ = scaled_dot_attention(
-        qh, mem_kv.k, mem_kv.v, d_k**0.5, mask=mask, deterministic=True
-    )
+    out, _ = _sdpa_nld(qh, mem_kv.k, mem_kv.v, d_k**0.5, mask=mask)
     out = linear(params["fc"], _merge_heads(out))
     return out + residual
 
