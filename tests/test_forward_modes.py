@@ -180,10 +180,11 @@ def test_teacher_forcing_ratio_stochastic_selects_a_branch():
     fr_lp = np.asarray(fr_out[1])
     assert not np.allclose(tf_lp, fr_lp)
     seen = set()
+    ratio_fwd = jax.jit(lambda rng: las_forward(
+        las, cfg, feats, acous_lens=lens, tgt=src,
+        teacher_forcing_ratio=0.5, rng=rng))  # one compile for all seeds
     for seed in range(8):
-        out = las_forward(las, cfg, feats, acous_lens=lens, tgt=src,
-                          teacher_forcing_ratio=0.5,
-                          rng=jax.random.PRNGKey(seed))
+        out = ratio_fwd(jax.random.PRNGKey(seed))
         lp = np.asarray(out[1])
         if np.allclose(lp, tf_lp):
             seen.add("tf")
