@@ -162,6 +162,26 @@ def bench_tpu(train_iters: int = 10, train_repeats: int = 3):
     utt_per_s = _measure_decode(None, feats, lens, B)  # f32 parity mode
     utt_per_s_bf16 = _measure_decode(jnp.bfloat16, feats, lens, B)
 
+    # single-request serving latency: BLOCKING call at B=1 (median over 20;
+    # includes the tunnel round-trip on axon — probe_serving_latency.py
+    # reports the rtt-subtracted device-side number)
+    dec1 = jax.jit(partial(
+        forward_translate, cfg=cfg, mode="ST", beam_width=b["beam"],
+        penalty_factor=1.0, max_seq_len=b["decode_len"],
+        cache_dtype=jnp.bfloat16,
+    ))
+    f1, l1 = feats[:1], lens[:1] * 0 + (b["frames"] - 8)
+    for _ in range(2):
+        out = dec1(params, acous_feats=f1, acous_lens=l1)
+        _ = int(np.asarray(out[0, 0]))
+    lat = []
+    for _ in range(20):
+        t0 = time.perf_counter()
+        out = dec1(params, acous_feats=f1, acous_lens=l1)
+        _ = int(np.asarray(out[0, 1]))
+        lat.append((time.perf_counter() - t0) * 1000)
+    latency_b1_ms = float(np.median(lat))
+
     # serving-throughput mode: larger batch amortises per-step weight
     # streaming (the reference baseline is matched-workload B=16 above)
     B4 = 4 * B
@@ -252,12 +272,14 @@ def bench_tpu(train_iters: int = 10, train_repeats: int = 3):
     mfu_b32 = 2 * flops * step_b32_per_s / V5E_PEAK_FLOPS
 
     return (utt_per_s, utt_per_s_bf16, utt_per_s_serving, step_per_s,
-            step_bf16_per_s, mfu, mfu_bf16, step_b32_per_s, mfu_b32)
+            step_bf16_per_s, mfu, mfu_bf16, step_b32_per_s, mfu_b32,
+            latency_b1_ms)
 
 
 def main():
     (utt_per_s, utt_per_s_bf16, utt_per_s_serving, step_per_s,
-     step_bf16_per_s, mfu, mfu_bf16, step_b32_per_s, mfu_b32) = bench_tpu()
+     step_bf16_per_s, mfu, mfu_bf16, step_b32_per_s, mfu_b32,
+     latency_b1_ms) = bench_tpu()
 
     baseline_path = os.path.join(ROOT, "benchmarks", "reference_baseline.json")
     vs_baseline = None
@@ -284,6 +306,7 @@ def main():
         "mfu": round(mfu, 4),
         "mfu_bf16": round(mfu_bf16, 4),
         "mfu_b32": round(mfu_b32, 4),
+        "serving_latency_b1_ms": round(latency_b1_ms, 1),
         **extra,
     }
     print(json.dumps(result))
