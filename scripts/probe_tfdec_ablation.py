@@ -77,6 +77,72 @@ def timeit(fn, *args, n=20):
     return sorted(times)[1]
 
 
+# --- speed-of-light decomposition ------------------------------------------
+# strip the stack down to its matmuls, then add back one op class at a time:
+# locates the non-matmul milliseconds without a profiler (each variant keeps
+# identical FLOPs in the matmuls).
+
+
+def _mha_sol(p, q, k, v, *, mask, rngk, det, ln, sm):
+    residual = q
+    qn = layer_norm(p["layer_norm"], q, eps=1e-6) if ln else q
+    d_k = p["w_qs"]["w"].shape[1] // NH
+    qh, kh, vh = qn @ p["w_qs"]["w"], k @ p["w_ks"]["w"], v @ p["w_vs"]["w"]
+    b, lq, _ = qh.shape
+    lk = kh.shape[1]
+    qh = qh.reshape(b, lq, NH, d_k)
+    kh = kh.reshape(b, lk, NH, d_k)
+    vh = vh.reshape(b, lk, NH, d_k)
+    attn = jnp.einsum("bqnd,bknd->bnqk", qh / (d_k**0.5), kh)
+    if mask is not None:
+        attn = jnp.where(mask == 0, ATTN_MASK_FILL, attn)
+    if sm:
+        attn = jax.nn.softmax(attn, axis=-1)
+    if not det:
+        r1, r2 = jax.random.split(rngk)
+        attn = dropout(r1, attn, ATTN_DROPOUT, det)
+    out = jnp.einsum("bnqk,bknd->bqnd", attn, vh).reshape(b, lq, NH * d_k)
+    out = out @ p["fc"]["w"]
+    if not det:
+        out = dropout(r2, out, cfg.dropout, det)
+    return out + residual
+
+
+def sol_fwd(params, tgt, mem, *, k, ln=False, sm=False, det=True, masked=False):
+    smask = tgt_mask if masked else None
+    cmask = src_mask[:, None, :, :] if masked else None
+    x = tgt
+    for i in range(NL):
+        lp = params["layers"][i]
+        k, k1, k2, k3 = jax.random.split(k, 4)
+        x = _mha_sol(lp["decslf_attn"], x, x, x, mask=smask, rngk=k1, det=det,
+                     ln=ln, sm=sm)
+        x = _mha_sol(lp["encdec_attn"], x, mem, mem, mask=cmask, rngk=k2,
+                     det=det, ln=ln, sm=sm)
+        fp = lp["pos_ffn"]
+        y = layer_norm(fp["layer_norm"], x, eps=1e-6) if ln else x
+        y = jax.nn.relu(y @ fp["w_1"]["w"] + fp["w_1"]["b"]) @ fp["w_2"]["w"]
+        if not det:
+            y = dropout(k3, y, cfg.dropout, det)
+        x = y + fp["w_2"]["b"] + x
+    return layer_norm(params["norm"], x, eps=1e-5)
+
+
+def make_sol_grad(**kw):
+    def loss(p):
+        return jnp.sum(sol_fwd(p, tgt, mem, k=key, **kw).astype(jnp.float32))
+    return jax.jit(jax.grad(loss))
+
+
+SOL_VARIANTS = [
+    ("matmuls-only", dict()),
+    ("+softmax    ", dict(sm=True)),
+    ("+mask+sm    ", dict(sm=True, masked=True)),
+    ("+ln         ", dict(sm=True, masked=True, ln=True)),
+    ("+dropout=all", dict(sm=True, masked=True, ln=True, det=False)),
+]
+
+
 # --- parameterized reimplementation ----------------------------------------
 
 def _mha_v(p, q, k, v, *, mask, layout, fuse, kind, rngk, det):
@@ -181,7 +247,14 @@ VARIANTS = [
 ]
 
 if __name__ == "__main__":
+    import sys
+
     print(f"B={B} dtype={DTYPE.__name__} L={L} mem={LK} layers={NL}", flush=True)
-    for name, kw in VARIANTS:
-        g = product_grad() if kw is None else make_grad(**kw)
-        print(f"{name}: {timeit(g, params):7.2f} ms", flush=True)
+    if "--sol" in sys.argv:
+        for name, kw in SOL_VARIANTS:
+            g = make_sol_grad(**kw)
+            print(f"{name}: {timeit(g, params):7.2f} ms", flush=True)
+    else:
+        for name, kw in VARIANTS:
+            g = product_grad() if kw is None else make_grad(**kw)
+            print(f"{name}: {timeit(g, params):7.2f} ms", flush=True)
