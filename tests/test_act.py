@@ -87,6 +87,7 @@ def test_universal_no_act_layer_signal():
     assert out.shape == (2, 5, 16)
 
 
+@pytest.mark.slow  # heavy integration: slow lane
 def test_act_greedy_decode_matches_prefix_rerun():
     """ACT models decode via full-buffer causal re-runs (halting cannot be
     KV-cached). Pin it against the reference algorithm: literally re-run

@@ -71,12 +71,14 @@ def test_bf16_params(setup):
         assert leaf.dtype == jnp.bfloat16, path
 
 
+@pytest.mark.slow  # heavy integration: slow lane
 def test_bf16_forward_train(vag_run):
     _, _, out, _ = vag_run
     assert out["logps_st"].dtype == jnp.bfloat16
     assert np.isfinite(np.asarray(out["logps_st"], dtype=np.float32)).all()
 
 
+@pytest.mark.slow  # heavy integration: slow lane
 def test_bf16_train_step_updates(setup, vag_run):
     cfg, params, *_ = setup
     vag, l0, _, grads = vag_run
@@ -91,6 +93,7 @@ def test_bf16_train_step_updates(setup, vag_run):
     assert new["enc_emb_proj"]["w"].dtype == jnp.bfloat16
 
 
+@pytest.mark.slow  # heavy integration: slow lane
 def test_bf16_greedy_eval_runs(setup):
     cfg, params, feats, lens, src, tgt = setup
     out = forward_eval(params, cfg, "ASR_ST", acous_feats=feats, acous_lens=lens)

@@ -86,6 +86,7 @@ def test_translate_cli_mode1_asr(trained, tmp_path):
     assert len(lines) == 12  # one output line per utterance
 
 
+@pytest.mark.slow  # heavy integration: slow lane
 def test_translate_cli_mode2_combine(trained, tmp_path):
     corpus, latest = trained
     pool = os.path.dirname(latest)
@@ -121,6 +122,7 @@ def test_validate_config_string_booleans():
     assert cfg == {"a": True, "b": False, "c": None, "d": "keep"}
 
 
+@pytest.mark.slow  # heavy integration: slow lane
 def test_translate_pipeline_depths_and_fwd_cache(corpus, tmp_path):
     """The pipelined FIFO loop must write rows in the same order as the
     blocking loop, and repeated translate() calls must reuse one jitted
@@ -168,6 +170,7 @@ def test_translate_pipeline_depths_and_fwd_cache(corpus, tmp_path):
     assert len(tr._FWD_CACHE) == 1  # one program, reused across calls
 
 
+@pytest.mark.slow  # heavy integration: slow lane
 def test_translate_cli_unsupported_lm_mode_fails_loudly(trained, tmp_path):
     """lm_mode s-rnn/d must error (the reference asserts for s-rnn;
     silently decoding with NO fusion misattributes scores to the LM)."""
@@ -184,6 +187,7 @@ def test_translate_cli_unsupported_lm_mode_fails_loudly(trained, tmp_path):
     assert "lm_mode" in r.stderr
 
 
+@pytest.mark.slow  # heavy integration: slow lane
 def test_translate_cli_mode2_requires_combine_path(trained, tmp_path):
     corpus, latest = trained
     r = _run([

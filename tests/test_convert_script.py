@@ -25,6 +25,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 DIM = 16
 
 
+@pytest.mark.slow  # heavy integration: slow lane
 def test_convert_cli_roundtrip(tmp_path):
     load_reference()
     import dill

@@ -223,6 +223,7 @@ def test_table_fuser_in_las_decode_matches_callback():
     np.testing.assert_array_equal(np.asarray(out_cb[3]), np.asarray(out_dev[3]))
 
 
+@pytest.mark.slow  # heavy integration: slow lane
 def test_lm_fuse_plumbed_into_st_translate():
     """The reference threads lm_mode/lm_model into the LAS pass of EVERY
     translate mode (ref: Seq2seq.py:702,752,816,863), not just ASR: the ASR

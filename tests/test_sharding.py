@@ -95,6 +95,7 @@ def test_sharded_forward_matches_single_device():
                                rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow  # heavy integration: slow lane
 def test_trainer_step_on_mesh_matches_single_device(tmp_path):
     """A full Trainer_ASR_ST step on the (4, 2) mesh must produce the same
     losses and updated params as the plain single-device jit step."""
