@@ -170,7 +170,7 @@ def bench_tpu(train_iters: int = 10, train_repeats: int = 3):
         penalty_factor=1.0, max_seq_len=b["decode_len"],
         cache_dtype=jnp.bfloat16,
     ))
-    f1, l1 = feats[:1], lens[:1] * 0 + (b["frames"] - 8)
+    f1, l1 = feats[:1], lens[:1]  # lens[0] == frames - 8 (set above)
     for _ in range(2):
         out = dec1(params, acous_feats=f1, acous_lens=l1)
         _ = int(np.asarray(out[0, 0]))
@@ -246,8 +246,9 @@ def bench_tpu(train_iters: int = 10, train_repeats: int = 3):
     params16 = init_seq2seq(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
     opt_state16 = set_lr(tx.init(params16), 1e-4)
     step16 = jax.jit(train_step, donate_argnums=(0, 1))
+    feats16 = feats.astype(jnp.bfloat16)  # the bf16 CLI stages bf16 features
     step_bf16_per_s = _timed_train(step16, params16, opt_state16,
-                                   (feats, lens, src, tgt))
+                                   (feats16, lens, src, tgt))
     params16 = opt_state16 = None  # donated
 
     # ---- batch-32 train step: the LSTM recurrences are latency-bound on

@@ -24,13 +24,10 @@ enable_compilation_cache()
 
 import jax.numpy as jnp
 
+from bench import BENCH as b  # the flagship workload, one definition
 from stjep_tpu.config import ModelConfig
 from stjep_tpu.infer.forward import forward_translate
 from stjep_tpu.models.seq2seq import init_seq2seq
-
-b = dict(enc_vocab=30000, dec_vocab=200, frames=1504, acous_dim=40,
-         acous_hidden=256, dim_model=512, dim_ff=1024, heads=8, layers=6,
-         max_src=90, decode_len=150, beam=5)
 
 cfg = ModelConfig(
     enc_vocab_size=b["enc_vocab"], dec_vocab_size=b["dec_vocab"],
@@ -75,7 +72,8 @@ for B in (1, 2, 4, 8):
         _ = int(np.asarray(out[0, 1]))  # block: full request latency
         lats.append((time.perf_counter() - t0) * 1000)
     lats = np.sort(np.asarray(lats))
-    med, p90 = float(np.median(lats)), float(lats[int(0.9 * len(lats))])
+    med = float(np.median(lats))
+    p90 = float(lats[int(np.ceil(0.9 * len(lats))) - 1])  # nearest-rank
     print(f"B={B}: median {med:7.1f} ms  p90 {p90:7.1f} ms  "
           f"rtt- {med - RTT:7.1f} ms  ({B / (med / 1000):6.1f} utt/s blocking)",
           flush=True)

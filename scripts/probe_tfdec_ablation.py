@@ -27,9 +27,9 @@ import time
 import numpy as np
 import jax
 
-jax.config.update("jax_compilation_cache_dir",
-                  os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+from stjep_tpu.utils.misc import enable_compilation_cache
+
+enable_compilation_cache()
 
 import jax.numpy as jnp
 
