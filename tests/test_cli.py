@@ -199,3 +199,47 @@ def test_translate_cli_mode2_requires_combine_path(trained, tmp_path):
     ])
     assert r.returncode != 0
     assert "combine_path" in r.stderr
+
+
+@pytest.mark.slow  # heavy integration: slow lane
+def test_translate_cli_mode3_gather_emb(trained, tmp_path):
+    """MODE 3 writes the dyn_emb_ave.npy artifact the Seq2seq ctor consumes
+    (ref: translate.py:286-357 -> models/Seq2seq.py:64-66)."""
+    import numpy as np
+
+    corpus, latest = trained
+    out = str(tmp_path / "emb")
+    r = _run([
+        "translate.py", "--test_path_src", corpus["path_src"],
+        "--test_path_tgt", corpus["path_tgt"],
+        "--test_acous_path", corpus["acous_path"],
+        "--load", latest, "--test_path_out", out,
+        "--eval_mode", "3", "--batch_size", "6", "--use_type", "word",
+    ])
+    assert r.returncode == 0, r.stderr[-3000:]
+    vec = np.load(os.path.join(out, "dyn_emb_ave.npy"))
+    # mean dynamic embedding: [hidden_size_shared] = dim_model, finite
+    assert vec.shape == (8,)
+    assert np.isfinite(vec).all()
+
+
+@pytest.mark.slow  # heavy integration: slow lane
+def test_translate_cli_mode4_projector_dump(trained, tmp_path):
+    """MODE 4 writes a TensorBoard embedding-projector dump
+    (ref: translate.py:200-283)."""
+    corpus, latest = trained
+    out = str(tmp_path / "proj")
+    r = _run([
+        "translate.py", "--test_path_src", corpus["path_src"],
+        "--test_path_tgt", corpus["path_tgt"],
+        "--test_acous_path", corpus["acous_path"],
+        "--load", latest, "--test_path_out", out,
+        "--eval_mode", "4", "--batch_size", "6", "--use_type", "word",
+    ])
+    assert r.returncode == 0, r.stderr[-3000:]
+    # SummaryWriter projector layout: an events file + projector_config
+    names = []
+    for root, _dirs, files in os.walk(out):
+        names += files
+    assert any(n.startswith("events.out.tfevents") for n in names), names
+    assert "projector_config.pbtxt" in names, names
