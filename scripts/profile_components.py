@@ -44,7 +44,11 @@ src = jnp.asarray(rng.randint(5, 30000, size=(B, 90)).astype(np.int32)
                   ).at[:, 0].set(BOS)
 tgt = jnp.asarray(rng.randint(5, 200, size=(B, 150)).astype(np.int32)
                   ).at[:, 0].set(BOS)
-key = jax.random.PRNGKey(1)
+from stjep_tpu.utils.misc import root_key
+
+# hardware rbg keys, like the real train step: threefry mask generation
+# inflates every dropout-bearing component by milliseconds (CLAUDE.md)
+key = root_key(1)
 
 
 def timeit(fn, *args, n=20, warm=2):
