@@ -243,3 +243,65 @@ def test_translate_cli_mode4_projector_dump(trained, tmp_path):
         names += files
     assert any(n.startswith("events.out.tfevents") for n in names), names
     assert "projector_config.pbtxt" in names, names
+
+
+def test_train_cli_embedding_overlay_shared(corpus, tmp_path):
+    """Pretrained-embedding overlay wiring (train.py) with share_embedder:
+    the reference rebinds enc_embedder = dec_embedder AFTER both overlays
+    (ref: models/Seq2seq.py:99-121), so the tgt-side overlay must win and a
+    src-only overlay must be discarded. Overlaid rows of words absent from
+    the training text must survive one epoch untouched (zero-grad Adam)."""
+    import numpy as np
+
+    from stjep_tpu.data.dataset import load_vocab_file
+    from stjep_tpu.train.checkpoint import Checkpoint
+
+    corpus = make_corpus(str(tmp_path / "data"), n_sent=4)
+    _, w2i, _ = load_vocab_file(corpus["path_vocab_src"])
+    with open(corpus["path_src"]) as f:
+        used = set(f.read().split())
+    unused = sorted(w for w in w2i if w not in used and not w.startswith("<"))
+    assert len(unused) >= 2, "corpus uses every vocab word; shrink n_sent"
+    w_both, w_src_only = unused[0], unused[1]
+
+    vec_a = " ".join(str(0.111 * (i + 1)) for i in range(8))
+    vec_b = " ".join(str(-0.222 * (i + 1)) for i in range(8))
+    src_emb = tmp_path / "src.vec"
+    tgt_emb = tmp_path / "tgt.vec"
+    src_emb.write_text(f"{w_both} {vec_a}\n{w_src_only} {vec_a}\n")
+    tgt_emb.write_text(f"{w_both} {vec_b}\n")
+
+    expt = str(tmp_path / "expt")
+    r = _run([
+        "train.py", "--mode", "MT", "--save", expt,
+        # identity "translation": same text both sides, word-level tgt,
+        # one shared vocab -> share_embedder is well-formed
+        # no dev set -> the per-epoch save path fires unconditionally
+        # (a first dev eval at accuracy 0.0 would save nothing, like the
+        # reference's improvement-gated save)
+        "--mt_train_path_src", corpus["path_src"],
+        "--mt_train_path_tgt", corpus["path_src"],
+        "--path_vocab_src", corpus["path_vocab_src"],
+        "--path_vocab_tgt", corpus["path_vocab_src"],
+        "--use_type", "word", "--share_embedder", "True",
+        "--load_embedding_src", str(src_emb),
+        "--load_embedding_tgt", str(tgt_emb),
+        "--dim_model", "8", "--dim_feedforward", "16", "--num_heads", "2",
+        "--enc_layers", "1", "--dec_layers", "1",
+        "--embedding_size_enc", "8", "--embedding_size_dec", "8",
+        "--max_seq_len_src", "16", "--max_seq_len_tgt", "16",
+        "--batch_size", "6", "--minibatch_partition", "1",
+        "--num_epochs", "1", "--checkpoint_every", "2", "--print_every", "2",
+        "--learning_rate", "0.005", "--learning_rate_init", "0.005",
+        "--lr_warmup_steps", "0",
+    ])
+    assert r.returncode == 0, r.stderr[-3000:]
+    ck = Checkpoint.load(os.path.join(expt, "checkpoints_epoch", "1"))
+    enc = np.asarray(ck.params["enc_embedder"], np.float32)
+
+    want_b = np.asarray([float(x) for x in vec_b.split()], np.float32)
+    want_a = np.asarray([float(x) for x in vec_a.split()], np.float32)
+    # tgt overlay won on the shared (live) table
+    np.testing.assert_allclose(enc[w2i[w_both]], want_b, rtol=1e-6)
+    # src-only overlay was discarded by the rebind
+    assert not np.allclose(enc[w2i[w_src_only]], want_a)

@@ -147,3 +147,39 @@ def test_corpus_bleu_partial():
     ref = [[["the", "cat", "sat", "on", "a", "mat"]]]
     score = corpus_bleu(hyp, ref)
     assert 0.0 < score < 1.0
+
+
+@pytest.mark.skipif(not reference_available(), reason="reference missing")
+def test_load_pretrained_embedding_matches_reference(tmp_path):
+    """Oracle parity for the pretrained-embedding overlay
+    (ref: utils/dataset.py:631-651): the `word.lower()` quirk, the
+    `len(items) <= 2` header/short-line skip, OOV skip, and
+    later-line-overwrites semantics must all match the reference."""
+    load_reference()
+    from utils.dataset import load_pretrained_embedding as ref_overlay
+
+    from stjep_tpu.data.dataset import load_pretrained_embedding as my_overlay
+
+    word2id = {"the": 5, "cat": 6, "mat": 7, "dog": 8}
+    dim = 4
+    lines = [
+        "40000 4",                       # fastText-style header: skipped
+        "The 1.0 2.0 3.0 4.0",           # uppercase -> lowercase match
+        "cat 0.5 0.5 0.5 0.5",
+        "zebra 9.0 9.0 9.0 9.0",         # OOV: skipped
+        "mat -1",                        # len(items) <= 2: skipped
+        "cat 7.0 7.0 7.0 7.0",           # later line overwrites
+    ]
+    p = tmp_path / "emb.vec"
+    p.write_text("\n".join(lines) + "\n")
+
+    rng = np.random.RandomState(0)
+    init = rng.randn(10, dim)
+    mine = my_overlay(word2id, init.copy(), str(p))
+    theirs = ref_overlay(word2id, init.copy(), str(p))
+    np.testing.assert_array_equal(mine, theirs)
+    # the quirks, asserted directly
+    np.testing.assert_array_equal(mine[5], [1.0, 2.0, 3.0, 4.0])
+    np.testing.assert_array_equal(mine[6], [7.0, 7.0, 7.0, 7.0])
+    np.testing.assert_array_equal(mine[7], init[7])
+    np.testing.assert_array_equal(mine[8], init[8])
