@@ -1,0 +1,329 @@
+"""Training-quality A/B: this framework vs the torch reference, same recipe.
+
+The oracle parity suites pin *forward/decode* parity on converted
+checkpoints; this harness closes the last untested claim — that the
+framework *trains to the same quality* as the reference given identical
+data, hyperparameters, and recipe. Both arms run the staged recipe
+(ASR pretrain -> joint ASR_ST, ref: trainer/trainer_asr.py:288-513 ->
+trainer/trainer_asr_st.py:363-586) through their REAL CLIs on the same
+non-saturating synthetic corpus (tests/data_factory.make_hard_corpus:
+homophone pairs plant a ~0.20 Bayes WER floor, so mid-range metrics are
+sensitive to subtly-wrong training math — a saturated 0.000/1.000 gate is
+not). The gather-dyn-emb stage is skipped in BOTH arms: ASR_ST never
+consumes EMB_DYN_AVE (ref: models/Seq2seq.py:451 is the MT path).
+
+Matched between arms: corpus + seeds for the data, model dims, LR
+(constant: lr_warmup_steps 0 deactivates the reference scheduler,
+ref: trainer/trainer_base.py:141-142, and Adam keeps learning_rate_init),
+batch/minibatch, grad clip, epochs, checkpoint cadence, eval protocol
+(dev ASR greedy + ST beam-5 through each arm's translate CLI), and the
+metric code (stjep_tpu.utils.metrics on both arms' output files).
+Unmatched by nature: parameter init and dropout/SpecAugment RNG streams
+(torch vs JAX) — so trajectories agree statistically, not bitwise.
+
+Usage: python scripts/measure_quality_ab.py [workdir] [epochs_asr] [epochs_joint]
+
+Writes benchmarks/quality_ab.json (both arms + trajectories) and
+benchmarks/quality_synthetic_hard.json (the jax arm alone — the
+non-saturating quality gate for future rounds).
+"""
+
+import json
+import os
+import re
+import subprocess
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+N_TRAIN = 360
+N_DEV = 48
+# 360 sents / batch 32 = 12 steps/epoch; eval every 2 epochs keeps the
+# trajectory dense (40 points over 80 epochs) without dev decode dominating
+# the CPU wall time.
+CKPT_EVERY = 24
+
+DIMS = dict(
+    las_acous_dim=8, las_acous_hidden_size=16, dim_model=32,
+    dim_feedforward=64, num_heads=4, enc_layers=2, dec_layers=2,
+    embedding_size_enc=16, embedding_size_dec=32,
+    max_seq_len_src=10, max_seq_len_tgt=24,
+)
+
+DEV_RE = re.compile(
+    r"Dev (EN|DE) loss: ([\d.]+), accuracy: ([\d.]+), bleu: ([\d.]+)")
+
+
+def sh(cmd, log, cwd=ROOT, env=None):
+    t0 = time.time()
+    with open(log, "w") as f:
+        r = subprocess.run(cmd, stdout=f, stderr=subprocess.STDOUT, cwd=cwd,
+                           env=env)
+    if r.returncode != 0:
+        print(open(log).read()[-4000:])
+        raise RuntimeError(f"failed ({log}): {' '.join(cmd)}")
+    return time.time() - t0
+
+
+def cpu_env():
+    """Both arms run on host CPU: the torch reference is CPU-only here, and
+    quality parity is a claim about the training math, not the backend.
+    Stripping the axon plugin dir from PYTHONPATH (+ JAX_PLATFORMS=cpu)
+    keeps the jax arm off the single-tenant TPU tunnel."""
+    env = dict(os.environ)
+    env["PYTHONPATH"] = ":".join(
+        p for p in [ROOT] + env.get("PYTHONPATH", "").split(":")
+        if p and "axon" not in p)
+    env["JAX_PLATFORMS"] = "cpu"
+    return env
+
+
+def common_flags(data, epochs_unused=None):
+    flags = [
+        "--path_vocab_src", f"{data}/vocab.src",
+        "--path_vocab_tgt", f"{data}/vocab.tgt",
+        "--las_acous_norm", "False", "--use_type", "char",
+        "--batch_size", "32", "--minibatch_partition", "1",
+        "--checkpoint_every", str(CKPT_EVERY),
+        "--print_every", str(CKPT_EVERY),
+        "--learning_rate", "0.003", "--learning_rate_init", "0.003",
+        "--lr_warmup_steps", "0", "--max_count_no_improve", "300",
+        "--max_count_num_rollback", "300",
+        "--use_gpu", "False", "--grab_memory", "False",
+    ]
+    for k, v in DIMS.items():
+        flags += [f"--{k}", str(v)]
+    return flags
+
+
+def asr_flags(data):
+    return [
+        "--asr_train_path_src", f"{data}/train.src",
+        "--asr_train_acous_path", f"{data}/train.flis",
+        "--asr_dev_path_src", f"{data}/dev.src",
+        "--asr_dev_acous_path", f"{data}/dev.flis",
+    ]
+
+
+def st_flags(data):
+    return [
+        "--loss_nll_asr_coeff", "1.0", "--loss_nll_st_coeff", "1.0",
+        "--st_train_path_src", f"{data}/train.src",
+        "--st_train_path_tgt", f"{data}/train.tgt",
+        "--st_train_acous_path", f"{data}/train.flis",
+        "--st_dev_path_src", f"{data}/dev.src",
+        "--st_dev_path_tgt", f"{data}/dev.tgt",
+        "--st_dev_acous_path", f"{data}/dev.flis",
+    ]
+
+
+def dec_flags(data, out, gen_mode, beam):
+    f = ["--eval_mode", "1", "--gen_mode", gen_mode,
+         "--test_path_src", f"{data}/dev.src",
+         "--test_path_tgt", f"{data}/dev.tgt",
+         "--test_acous_path", f"{data}/dev.flis",
+         "--test_path_out", out, "--batch_size", "16",
+         "--max_seq_len", "24", "--use_type", "char"]
+    if beam:
+        f += ["--beam_width", str(beam)]
+    return f
+
+
+def parse_ref_log(path, checkpoint_every=CKPT_EVERY):
+    """Dev trajectory from the reference's training log (format:
+    trainer/trainer_asr_st.py:467-472). Eval points carry no step number
+    in the text, so the i-th eval is step (i+1)*checkpoint_every."""
+    traj = {"EN": [], "DE": []}
+    seen = {"EN": 0, "DE": 0}
+    for line in open(path, errors="replace"):
+        m = DEV_RE.search(line)
+        if m:
+            side, loss, acc, bleu = m.groups()
+            seen[side] += 1
+            traj[side].append({
+                "step": seen[side] * checkpoint_every,
+                "loss": float(loss), "acc": float(acc),
+                "bleu": float(bleu)})
+    return traj
+
+
+def parse_jax_scalars(expt):
+    traj = {"EN": [], "DE": []}
+    path = os.path.join(expt, "scalars.jsonl")
+    if not os.path.exists(path):
+        return traj
+    by_step = {}
+    for line in open(path):
+        rec = json.loads(line)
+        tag = rec.get("tag", "")
+        if not tag.startswith("dev_"):
+            continue
+        side = "EN" if tag.endswith("_en") else (
+            "DE" if tag.endswith("_de") else None)
+        if side is None:
+            continue
+        key = (side, rec["step"])
+        by_step.setdefault(key, {"step": rec["step"]})
+        base = tag[4:].rsplit("_", 1)[0]  # loss | acc | bleu
+        by_step[key][base] = round(float(rec["value"]), 4)
+    for (side, _), rec in sorted(by_step.items(), key=lambda kv: kv[0][1]):
+        traj[side].append(rec)
+    return traj
+
+
+def read_lines(path):
+    with open(path) as f:
+        return [l.rstrip("\n") for l in f]
+
+
+def final_metrics(work, data, arm):
+    from stjep_tpu.utils.metrics import corpus_bleu, corpus_wer
+
+    asr_hyp = [l.split() for l in
+               read_lines(f"{work}/{arm}/dec_asr/translate.txt")]
+    asr_ref = [l.split() for l in read_lines(f"{data}/dev.src")]
+    st_hyp = [l.split() for l in
+              read_lines(f"{work}/{arm}/dec_st/translate.txt")]
+    st_ref = [l.split() for l in read_lines(f"{data}/dev.tgt")]
+    n = min(len(asr_hyp), len(asr_ref))
+    m = min(len(st_hyp), len(st_ref))
+    return {
+        "asr_dev_wer": round(corpus_wer(asr_hyp[:n], asr_ref[:n]), 4),
+        "st_dev_bleu": round(
+            corpus_bleu(st_hyp[:m], [[r] for r in st_ref[:m]]), 4),
+        "n_decoded": {"asr": n, "st": m},
+    }
+
+
+def latest_subdir(d):
+    subs = [os.path.join(d, s) for s in sorted(os.listdir(d))]
+    subs = [s for s in subs if os.path.isdir(s)]
+    return subs[-1]
+
+
+def run_jax_arm(work, data, e_asr, e_joint):
+    py = sys.executable
+    arm = f"{work}/jax"
+    os.makedirs(arm, exist_ok=True)
+    env = cpu_env()
+    C = common_flags(data)
+    t1 = sh([py, "train.py", "--mode", "ASR", "--save", f"{arm}/asr",
+             "--load_mode", "ALL", "--num_epochs", str(e_asr),
+             *asr_flags(data), *C], f"{arm}/log.asr", env=env)
+    from stjep_tpu.train.checkpoint import Checkpoint
+
+    asr_ckpt = Checkpoint.get_latest_checkpoint(f"{arm}/asr")
+    t2 = sh([py, "train.py", "--mode", "ASR_ST", "--save", f"{arm}/asr_st",
+             "--load", asr_ckpt, "--load_mode", "ASR",
+             "--num_epochs", str(e_joint), *st_flags(data), *C],
+            f"{arm}/log.joint", env=env)
+    joint_ckpt = Checkpoint.get_latest_checkpoint(f"{arm}/asr_st")
+    sh([py, "translate.py", "--load", joint_ckpt,
+        *dec_flags(data, f"{arm}/dec_asr", "ASR", 0)],
+       f"{arm}/log.dec_asr", env=env)
+    sh([py, "translate.py", "--load", joint_ckpt,
+        *dec_flags(data, f"{arm}/dec_st", "ST", 5)],
+       f"{arm}/log.dec_st", env=env)
+    return {
+        "wall_s": {"asr": round(t1, 1), "joint": round(t2, 1)},
+        "trajectory": {
+            "asr_stage": parse_jax_scalars(f"{arm}/asr"),
+            "joint_stage": parse_jax_scalars(f"{arm}/asr_st"),
+        },
+        **final_metrics(work, data, "jax"),
+    }
+
+
+def run_torch_arm(work, data, e_asr, e_joint):
+    py = sys.executable
+    arm = f"{work}/torch"
+    scratch = f"{arm}/scratch"
+    os.makedirs(arm, exist_ok=True)
+    wrap = [py, os.path.join(ROOT, "scripts", "run_reference_cli.py"),
+            scratch]
+    C = common_flags(data)
+    t1 = sh([*wrap, "train", "--mode", "ASR", "--save", f"{arm}/asr",
+             "--load_mode", "ALL", "--num_epochs", str(e_asr),
+             *asr_flags(data), *C], f"{arm}/log.asr")
+    asr_ckpt = latest_subdir(f"{arm}/asr/checkpoints")
+    t2 = sh([*wrap, "train", "--mode", "ASR_ST", "--save", f"{arm}/asr_st",
+             "--load", asr_ckpt, "--load_mode", "ASR",
+             "--num_epochs", str(e_joint), *st_flags(data), *C],
+            f"{arm}/log.joint")
+    joint_ckpt = latest_subdir(f"{arm}/asr_st/checkpoints")
+    sh([*wrap, "translate", "--load", joint_ckpt,
+        *dec_flags(data, f"{arm}/dec_asr", "ASR", 0)], f"{arm}/log.dec_asr")
+    sh([*wrap, "translate", "--load", joint_ckpt,
+        *dec_flags(data, f"{arm}/dec_st", "ST", 5)], f"{arm}/log.dec_st")
+    return {
+        "wall_s": {"asr": round(t1, 1), "joint": round(t2, 1)},
+        "trajectory": {
+            "asr_stage": parse_ref_log(f"{arm}/log.asr"),
+            "joint_stage": parse_ref_log(f"{arm}/log.joint"),
+        },
+        **final_metrics(work, data, "torch"),
+    }
+
+
+def main():
+    work = sys.argv[1] if len(sys.argv) > 1 else "/tmp/stjep_ab"
+    e_asr = int(sys.argv[2]) if len(sys.argv) > 2 else 80
+    e_joint = int(sys.argv[3]) if len(sys.argv) > 3 else 80
+    os.makedirs(work, exist_ok=True)
+    data = os.path.join(work, "data")
+
+    from tests.data_factory import (HARD_N_PAIRS, HARD_N_WORDS,
+                                    make_hard_corpus)
+
+    make_hard_corpus(data, n_sent=N_TRAIN, seed=0, prefix="train")
+    make_hard_corpus(data, n_sent=N_DEV, seed=7, prefix="dev")
+    floor = HARD_N_PAIRS / HARD_N_WORDS  # 2*pairs/words * 0.5
+
+    print("[A] jax arm", flush=True)
+    jax_res = run_jax_arm(work, data, e_asr, e_joint)
+    print(json.dumps({k: jax_res[k] for k in
+                      ("asr_dev_wer", "st_dev_bleu", "wall_s")}), flush=True)
+    print("[B] torch reference arm", flush=True)
+    torch_res = run_torch_arm(work, data, e_asr, e_joint)
+    print(json.dumps({k: torch_res[k] for k in
+                      ("asr_dev_wer", "st_dev_bleu", "wall_s")}), flush=True)
+
+    result = {
+        "corpus": {
+            "train_sents": N_TRAIN, "dev_sents": N_DEV,
+            "task": "synthetic hard ST (make_hard_corpus: homophone "
+                    "ambiguity -> non-saturating metrics)",
+            "bayes_wer_floor_approx": floor,
+        },
+        "config": DIMS,
+        "epochs": {"asr": e_asr, "joint": e_joint},
+        "recipe": "ASR pretrain -> ASR_ST joint (load_mode ASR), "
+                  "constant LR 0.003, batch 32",
+        "platform": "host cpu, both arms (jax forced off the TPU tunnel)",
+        "metric_code": "stjep_tpu.utils.metrics on both arms' decodes",
+        "jax": jax_res,
+        "torch_reference": torch_res,
+    }
+    print(json.dumps(result, indent=2))
+    with open(os.path.join(ROOT, "benchmarks", "quality_ab.json"), "w") as f:
+        json.dump(result, f, indent=2)
+
+    gate = {
+        "corpus": result["corpus"],
+        "config": DIMS,
+        "epochs": result["epochs"],
+        "asr_dev_wer": jax_res["asr_dev_wer"],
+        "st_dev_bleu": jax_res["st_dev_bleu"],
+        "gate": "re-run scripts/measure_quality_ab.py; dev WER/BLEU must "
+                "land within +/-0.08 of these values",
+    }
+    with open(os.path.join(
+            ROOT, "benchmarks", "quality_synthetic_hard.json"), "w") as f:
+        json.dump(gate, f, indent=2)
+    print("wrote benchmarks/quality_ab.json and quality_synthetic_hard.json")
+
+
+if __name__ == "__main__":
+    main()
