@@ -401,8 +401,14 @@ class Dataset:
             out[i, : a.shape[0]] = a
         return out
 
-    def materialise_batch(self, index: int) -> Dict[str, np.ndarray]:
-        """ref: IterDataset.__getitem__ (dataset.py:48-119)."""
+    def materialise_batch(self, index: int,
+                          with_acous: bool = True) -> Dict[str, np.ndarray]:
+        """ref: IterDataset.__getitem__ (dataset.py:48-119).
+
+        with_acous=False skips the np.load/CMVN and instead carries the
+        batch's file list under "_flis" — the trainer's device-resident
+        feature cache (data/device_cache.py) resolves those to on-device
+        rows, so the features never touch the host path again."""
         b = self.batches[index]
         item: Dict[str, np.ndarray] = {}
         if "ST" in self.mode or "ASR" in self.mode or "MT" in self.mode:
@@ -412,16 +418,22 @@ class Dataset:
             item["tgtid"] = self._pad_ids(b["tgt_word_ids"], self.max_seq_len_tgt)
             item["tgtlen"] = np.asarray(b["tgt_sentence_lengths"], np.int32)
         if "ST" in self.mode or "ASR" in self.mode:
-            norm = self.load_mu_std(b["acous_spkids"]) if self.acous_norm else None
-            item["acous_feat"] = self.load_acous(
-                b["acous_flis"], norm_param=norm, lengths=b["acous_lengths"]
-            )
+            if with_acous:
+                norm = (self.load_mu_std(b["acous_spkids"])
+                        if self.acous_norm else None)
+                item["acous_feat"] = self.load_acous(
+                    b["acous_flis"], norm_param=norm,
+                    lengths=b["acous_lengths"]
+                )
+            else:
+                item["_flis"] = list(b["acous_flis"])
             item["acouslen"] = np.asarray(b["acous_lengths"], np.int32)
         return item
 
-    def iter_batches(self) -> Iterator[Dict[str, np.ndarray]]:
+    def iter_batches(self, with_acous: bool = True
+                     ) -> Iterator[Dict[str, np.ndarray]]:
         for i in range(len(self.batches)):
-            yield self.materialise_batch(i)
+            yield self.materialise_batch(i, with_acous=with_acous)
 
 
 def load_pretrained_embedding(word2id, embedding_matrix, embedding_path):

@@ -108,6 +108,7 @@ class Trainer:
         acous_bucket=256,
         n_model=1,
         feat_dtype=None,
+        device_cache=False,
     ):
         self.checkpoint_every = checkpoint_every
         self.print_every = print_every
@@ -140,7 +141,9 @@ class Trainer:
         # hardware RNG on TPU: threefry dropout-mask generation costs real
         # VPU time at flagship shapes (see utils/misc.root_key)
         self._root_rng = _misc.root_key(seed)
-        self._step_fn = None
+        # one jitted step per static acoustic time-bucket (None = the
+        # bucket lives in the staged array's shape, not a static arg)
+        self._step_fns: Dict = {}
         self._eval_fn_cache: Dict = {}
         self._lr_curr = learning_rate_init
         self.n_model = max(1, int(n_model))
@@ -148,11 +151,23 @@ class Trainer:
         # loader's float32). bf16 halves the H2D bytes of the dominant
         # tensor; numerically free in bf16-param mode since the first
         # consumer is an MXU matmul that reads bf16 operands regardless.
+        # int8 quarters them: per-utterance symmetric quantization on host,
+        # dequantized at the top of the jitted step (data/device_cache.py).
         if feat_dtype in ("bfloat16", jnp.bfloat16):
             import ml_dtypes
 
             feat_dtype = ml_dtypes.bfloat16
+        elif feat_dtype == "int8":
+            feat_dtype = np.int8
         self.feat_dtype = np.dtype(feat_dtype) if feat_dtype else None
+        # epoch-persistent on-device feature cache (data/device_cache.py):
+        # upload the whole corpus once (int8 when feat_dtype is int8) and
+        # assemble minibatches inside the step with a gather — steady-state
+        # feature H2D drops to the row indices.
+        self.device_cache = bool(device_cache)
+        self._feat_caches: Dict = {}
+        self._feat_cache = None
+        self._feat_dequant = np.dtype(np.float32)  # set from params in train()
         self._mesh = None
 
     # ----------------------------------------------------------- batches
@@ -235,21 +250,35 @@ class Trainer:
             total = total + l_de
         return total, losses
 
-    def _build_step(self, cfg: ModelConfig, tx):
+    def _build_step(self, cfg: ModelConfig, tx, t_bucket: Optional[int] = None):
+        """One jitted train step. `cache`/`t_bucket` serve the device-resident
+        feature path: the minibatch's features are gathered by row index from
+        the resident corpus INSIDE the step (data/device_cache.py), with the
+        batch's bucketed time length baked in as a static slice."""
         mode = self.MODE
 
-        def loss_fn(params, mb, rng, inv_n):
+        def minibatch_feats(mb, cache):
+            from stjep_tpu.data.device_cache import dequantize, gather_features
+
+            if "acous_idx" in mb:  # device-cache path: on-device assembly
+                return gather_features(cache, mb["acous_idx"], t_bucket)
+            fa = mb["acous_feat"]
+            if "acous_scale" in mb:  # int8-staged path: on-device dequant
+                fa = dequantize(fa, mb["acous_scale"])
+            return fa
+
+        def loss_fn(params, mb, cache, rng, inv_n):
             kwargs = dict(src=mb["srcid"])
             if "tgtid" in mb:
                 kwargs["tgt"] = mb["tgtid"]
-            if "acous_feat" in mb:
-                kwargs["acous_feats"] = mb["acous_feat"]
+            if "acous_feat" in mb or "acous_idx" in mb:
+                kwargs["acous_feats"] = minibatch_feats(mb, cache)
                 kwargs["acous_lens"] = mb["acouslen"]
             out = forward_train(params, cfg, mode, rng=rng, is_training=True,
                                 **kwargs)
             return self._head_losses(cfg, out, mb, inv_n)
 
-        def train_step(params, opt_state, macro, rng, lr, inv_n):
+        def train_step(params, opt_state, macro, cache, rng, lr, inv_n):
             n_mini = jax.tree_util.tree_leaves(macro)[0].shape[0]
             rngs = jax.random.split(rng, n_mini)
 
@@ -258,7 +287,7 @@ class Trainer:
                 mb, k = xs
                 (_, losses), grads = jax.value_and_grad(
                     loss_fn, has_aux=True
-                )(params, mb, k, inv_n)
+                )(params, mb, cache, k, inv_n)
                 grads_acc = jax.tree_util.tree_map(jnp.add, grads_acc, grads)
                 losses_acc = jax.tree_util.tree_map(jnp.add, losses_acc, losses)
                 return (grads_acc, losses_acc), None
@@ -332,37 +361,65 @@ class Trainer:
         """Pad/reshape the macro batch and place it on device. Called from
         the prefetch thread (see _train_epoches) so the host->device
         transfer (~8 MB/step at flagship shapes) overlaps the previous
-        step's compute instead of serialising with dispatch."""
+        step's compute instead of serialising with dispatch.
+
+        Returns (macro, n_real, t_bucket): t_bucket is None except on the
+        device-cache path, where features never cross the link — the macro
+        carries row indices and the step gathers/slices to t_bucket."""
+        t_bucket = None
+        if "_flis" in item:  # device-cache path (iter_batches(with_acous=False))
+            from stjep_tpu.ops.masks import bucket_length
+
+            flis = item.pop("_flis")
+            item["acous_idx"] = self._feat_cache.rows(flis)
+            t_bucket = bucket_length(
+                int(round_up8(max(1, int(item["acouslen"].max())))),
+                self.acous_bucket)
         macro, n_real = self._device_batch(item, self.batch_size)
         if self.feat_dtype is not None and "acous_feat" in macro:
-            macro["acous_feat"] = macro["acous_feat"].astype(self.feat_dtype)
+            if self.feat_dtype == np.int8:
+                from stjep_tpu.data.device_cache import quantize_batch
+
+                qd = quantize_batch(macro["acous_feat"], self._feat_dequant)
+                macro["acous_feat"] = qd["q"]
+                macro["acous_scale"] = qd["scale"]
+            else:
+                macro["acous_feat"] = macro["acous_feat"].astype(self.feat_dtype)
         if self._mesh is not None:
             from stjep_tpu.parallel.mesh import shard_batch
 
             macro = shard_batch(macro, self._mesh, batch_axis=1)
         else:
             macro = {k: jax.device_put(v) for k, v in macro.items()}
-        return macro, n_real
+        return macro, n_real, t_bucket
 
     def _train_batch(self, cfg, params, opt_state, item, step):
-        # item: raw host batch dict, or an already-staged (macro, n_real)
-        # pair from the prefetch pipeline
+        # item: raw host batch dict, or an already-staged
+        # (macro, n_real, t_bucket) triple from the prefetch pipeline
         if isinstance(item, tuple):
-            macro, n_real = item
+            macro, n_real, t_bucket = item
         else:
-            macro, n_real = self._stage_batch(item)
-        if self._step_fn is None:
-            self._step_fn = self._build_step(cfg, self._tx)
+            macro, n_real, t_bucket = self._stage_batch(item)
+        if t_bucket not in self._step_fns:
+            self._step_fns[t_bucket] = self._build_step(
+                cfg, self._tx, t_bucket=t_bucket)
+        cache = self._feat_cache.arrays if t_bucket is not None else {}
         self._root_rng, k = jax.random.split(self._root_rng)
         lr = self._current_lr(step)
-        params, opt_state, losses = self._step_fn(
-            params, opt_state, macro, k, jnp.float32(lr), jnp.float32(1.0 / n_real)
+        params, opt_state, losses = self._step_fns[t_bucket](
+            params, opt_state, macro, cache, k, jnp.float32(lr),
+            jnp.float32(1.0 / n_real)
         )
         # losses stay DEVICE scalars: a float() here would block on the step
         # and pay a host readback every iteration, serialising the dispatch
         # pipeline (on the axon tunnel that is ~28 ms/step — more than the
         # step itself). The epoch loop drains them once per print window.
+        self._last_losses_dev = losses
         return params, opt_state, losses
+
+    def _last_losses(self) -> Dict:
+        """Most recent train step's loss dict (device scalars); test hook."""
+        return getattr(self, "_last_losses_dev", {})
 
     def _current_lr(self, step: int) -> float:
         # warmup_steps <= 0 deactivates the scheduler entirely — the
@@ -508,6 +565,12 @@ class Trainer:
         start_epoch, step = 1, 0
         opt_state = None
         self._setup_mesh()
+        # int8 staging dequantizes into the compute dtype (the scale array
+        # carries it — data/device_cache.quantize_batch)
+        leaf = jax.tree_util.tree_leaves(params)[0]
+        self._feat_dequant = (np.dtype(leaf.dtype)
+                              if jnp.issubdtype(leaf.dtype, jnp.floating)
+                              else np.dtype(np.float32))
 
         if "resume" in self.load_mode or "restart" in self.load_mode:
             self.logger.info("resuming %s ...", self.load_dir)
@@ -572,10 +635,27 @@ class Trainer:
 
             from stjep_tpu.data.loader import host_prefetch
 
+            use_cache = (self.device_cache
+                         and bool(getattr(train_set, "train_acous_flis", []))
+                         and any(train_set.train_acous_flis))
+            if use_cache and id(train_set) not in self._feat_caches:
+                from stjep_tpu.data.device_cache import DeviceFeatureCache
+
+                self._feat_caches[id(train_set)] = DeviceFeatureCache.build(
+                    train_set, self.acous_bucket,
+                    self.feat_dtype or np.float32,
+                    dequant_dtype=self._feat_dequant, mesh=self._mesh,
+                    logger=log)
+            self._feat_cache = (
+                self._feat_caches[id(train_set)] if use_cache else None)
+
             # staging (pad + device_put / shard) runs INSIDE the prefetch
-            # thread: host I/O and the H2D transfer both overlap compute
+            # thread: host I/O and the H2D transfer both overlap compute.
+            # With the device cache active the iterator skips the per-epoch
+            # np.load/CMVN entirely and stages row indices instead.
             batch_stream = host_prefetch(
-                (self._stage_batch(it) for it in train_set.iter_batches()),
+                (self._stage_batch(it)
+                 for it in train_set.iter_batches(with_acous=not use_cache)),
                 size=2,
             )
             for idx, item in enumerate(batch_stream):

@@ -27,11 +27,19 @@ TGT_CHARS = list("abcdefghij")
 # acoustic prototype, words are drawn i.i.d. (context carries no signal), so
 # even a Bayes-optimal recogniser gets ~50% of ambiguous tokens wrong:
 #   floor WER ~= (2*HARD_N_PAIRS / n_words) * 0.5
-# (0.20 with the defaults) and char-level ST BLEU lands well below 1.0.
+# (0.25 with the defaults) and char-level ST BLEU lands well below 1.0.
 # Mid-range metrics move when training is subtly wrong (loss coeffs, LR
 # formula, dropout placement) — that is what the gate needs to detect.
-HARD_N_WORDS = 40
-HARD_N_PAIRS = 8
+#
+# Design note (measured, round 3): the floor must come from AMBIGUITY, not
+# from marginal learnability. An earlier variant (40 words, noise 0.45) sat
+# on a learning cliff — the torch reference never escaped its plateau and
+# even a healthy run's WER depended on whether training "broke through" in
+# time, which makes a gate seed-sensitive. With the easy corpus's scale
+# (16 words, noise 0.3) both frameworks reliably saturate LEARNING and the
+# dev metrics settle at the homophone floor — reproducible mid-range.
+HARD_N_WORDS = 16
+HARD_N_PAIRS = 4
 
 
 def make_hard_corpus(
@@ -43,7 +51,7 @@ def make_hard_corpus(
     frames_per_word: int = 12,
     n_speakers: int = 3,
     seed: int = 0,
-    noise: float = 0.45,
+    noise: float = 0.3,
     prefix: str = "train",
 ):
     """Learnable-but-ambiguous ST corpus (same on-disk layout as make_corpus).

@@ -138,6 +138,16 @@ def load_arguments(parser):
     parser.add_argument('--n_model', type=int, default=1,
         help='tensor-parallel degree of the (data, model) device mesh; '
              'the data axis gets the remaining devices')
+    parser.add_argument('--feat_dtype', type=str, default='auto',
+        help='acoustic-feature staging dtype: auto (= follow --dtype) | '
+             'float32 | bfloat16 | int8 (per-utterance scale, on-device '
+             'dequant — 4x less host->device traffic than float32)')
+    parser.add_argument('--device_cache', type=str, default='False',
+        help='keep the whole corpus of acoustic features resident on '
+             'device (at --feat_dtype precision) and gather minibatches '
+             'on-device: per-epoch feature H2D and np.load/CMVN drop to '
+             'zero after epoch 1; needs the corpus to fit in HBM '
+             '(a 400h fbank corpus is ~6 GB at int8)')
 
     return parser
 
@@ -286,10 +296,16 @@ def main():
         loss_coeff=loss_coeff, seed=config['random_seed'],
         acous_bucket=config['acous_bucket'],
         n_model=config['n_model'],
-        # bf16 mode: stage acoustic features in bf16 on the host — half the
-        # H2D bytes of the dominant tensor, numerically free since the MXU
-        # reads bf16 operands either way
-        feat_dtype='bfloat16' if config['dtype'] == 'bfloat16' else None,
+        # feature staging dtype: 'auto' follows --dtype (bf16 halves the H2D
+        # bytes of the dominant tensor, numerically free since the MXU reads
+        # bf16 operands either way); 'int8' quarters them via per-utterance
+        # scales + on-device dequant (stjep_tpu/data/device_cache.py)
+        feat_dtype=(
+            ('bfloat16' if config['dtype'] == 'bfloat16' else None)
+            if config.get('feat_dtype', 'auto') in ('auto', None)
+            else (None if config['feat_dtype'] == 'float32'
+                  else config['feat_dtype'])),
+        device_cache=bool(config.get('device_cache')),
     )
 
     train_sets, dev_sets, vocab_set = build_datasets(config, t)
