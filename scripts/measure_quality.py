@@ -10,7 +10,11 @@ joint ASR_ST) runs through the real CLIs, then dev-set quality is measured
 from beam decodes: ASR WER + ST BLEU. Results land in
 benchmarks/quality_synthetic.json for BASELINE.md.
 
-Usage: python scripts/measure_quality.py [workdir] [dtype] [profile]
+Usage: python scripts/measure_quality.py [workdir] [dtype] [profile] [staging]
+
+staging (default none): int8 | cache | cache_int8 — runs the recipe with
+--feat_dtype int8 / --device_cache True to validate the H2D-compression
+levers are quality-neutral; results suffix the output json.
 
 dtype (float32 default | bfloat16) is passed to the training stages'
 --dtype flag; bfloat16 results land in quality_synthetic_bf16.json —
@@ -110,6 +114,8 @@ def main():
     work = sys.argv[1] if len(sys.argv) > 1 else "/tmp/stjep_quality"
     dtype = sys.argv[2] if len(sys.argv) > 2 else "float32"
     profile = sys.argv[3] if len(sys.argv) > 3 else "tiny"
+    staging = sys.argv[4] if len(sys.argv) > 4 else "none"
+    assert staging in ("none", "int8", "cache", "cache_int8"), staging
     dims = PROFILES[profile]
     os.makedirs(work, exist_ok=True)
     data = os.path.join(work, "data")
@@ -120,6 +126,13 @@ def main():
     make_corpus(data, n_sent=N_DEV, learnable=True, seed=7, prefix="dev")
     py = sys.executable
     C = common_flags(data, dims) + ["--dtype", dtype]
+    # H2D-compression staging levers (data/device_cache.py): quality runs
+    # with these validate that int8 feature quantization / the on-device
+    # corpus cache are quality-neutral through the FULL staged recipe
+    if "int8" in staging:
+        C += ["--feat_dtype", "int8"]
+    if staging.startswith("cache"):
+        C += ["--device_cache", "True"]
 
     # --- stage 1: ASR pretrain -------------------------------------------
     print("[1/4] ASR pretrain", flush=True)
@@ -201,6 +214,7 @@ def main():
         "config": dims,
         "profile": profile,
         "dtype": dtype,
+        "staging": staging,
         "epochs": {"asr": EPOCHS_ASR, "joint": joint_epochs},
         "joint_hp": hp,
         "asr_dev_wer": round(wer, 4),
@@ -214,6 +228,8 @@ def main():
         name += f"_{profile}"
     if dtype != "float32":
         name += "_bf16"
+    if staging != "none":
+        name += f"_{staging}"
     out = os.path.join(ROOT, "benchmarks", name + ".json")
     with open(out, "w") as f:
         json.dump(result, f, indent=2)

@@ -11,7 +11,12 @@ The corpus is random (throughput only, nothing to learn) but shaped like
 the flagship bench workload (bench.BENCH): 30k-word src vocab, 200-char
 tgt vocab, <=1500-frame utterances, src<=90 tokens, tgt<=150 tokens.
 
-Usage: python scripts/measure_trainer_throughput.py [workdir] [batch_size] [dtype]
+Usage: python scripts/measure_trainer_throughput.py [workdir] [batch_size] [dtype] [staging]
+
+staging (default none): int8 | cache | cache_int8 — the H2D-compression
+levers of stjep_tpu/data/device_cache.py (--feat_dtype int8 /
+--device_cache True in the CLI). Results land under keys like
+"b32_bfloat16_cache_int8".
 """
 
 import json
@@ -26,7 +31,7 @@ import numpy as np
 
 N_UTT = 256
 N_SPEAKERS = 4
-MEASURE_EPOCHS = 3  # timed epochs (after a warmup epoch that compiles)
+MEASURE_EPOCHS = 6  # timed epochs (after a warmup epoch that compiles)
 
 
 def make_flagship_corpus(root: str, bench: dict, seed: int = 0):
@@ -102,6 +107,8 @@ def main():
     work = sys.argv[1] if len(sys.argv) > 1 else "/tmp/stjep_trainer_e2e"
     batch_size = int(sys.argv[2]) if len(sys.argv) > 2 else 32
     dtype_name = sys.argv[3] if len(sys.argv) > 3 else "float32"
+    staging = sys.argv[4] if len(sys.argv) > 4 else "none"
+    assert staging in ("none", "int8", "cache", "cache_int8"), staging
 
     import jax
 
@@ -163,7 +170,9 @@ def main():
         learning_rate=1e-5, learning_rate_init=5e-4, lr_warmup_steps=12000,
         max_count_no_improve=100, seed=0,
         loss_coeff={"nll_asr": 1.0, "nll_st": 1.0},
-        feat_dtype="bfloat16" if dtype_name == "bfloat16" else None,
+        feat_dtype=("int8" if "int8" in staging
+                    else "bfloat16" if dtype_name == "bfloat16" else None),
+        device_cache=staging.startswith("cache"),
     )
 
     def force(params):
@@ -183,21 +192,24 @@ def main():
     force(params)
     warm_s = time.perf_counter() - t0
 
+    # steady state: ONE multi-epoch train() call, the way real training
+    # runs — epoch boundaries (construct_batches, prefetch spin-up) stay in
+    # the timed window, but the per-call entry overhead (optimizer re-init,
+    # load-mode dispatch, param placement) is paid once, not per epoch
     steps_per_epoch = len(ds)
-    per_epoch = []
-    for _e in range(MEASURE_EPOCHS):
-        t0 = time.perf_counter()
-        cfg, params = t.train({"st": ds}, (cfg, params), num_epochs=1,
-                              dev_sets={"st": dev})
-        force(params)
-        per_epoch.append(time.perf_counter() - t0)
-    ep_s = float(np.median(per_epoch))
+    t0 = time.perf_counter()
+    cfg, params = t.train({"st": ds}, (cfg, params),
+                          num_epochs=MEASURE_EPOCHS, dev_sets={"st": dev})
+    force(params)
+    wall = time.perf_counter() - t0
+    per_epoch = [wall / MEASURE_EPOCHS]
 
-    step_per_s = steps_per_epoch / ep_s
+    step_per_s = steps_per_epoch * MEASURE_EPOCHS / wall
     samples_per_s = step_per_s * batch_size
     out = {
         "batch_size": batch_size,
         "dtype": dtype_name,
+        "staging": staging,
         "n_utterances": N_UTT,
         "steps_per_epoch": steps_per_epoch,
         "warmup_epoch_s": round(warm_s, 1),
@@ -206,8 +218,8 @@ def main():
         "e2e_samples_per_s": round(samples_per_s, 1),
         "note": ("end-to-end Trainer_ASR_ST loop incl. Dataset np.load+CMVN, "
                  "host prefetch, construct_batches, LR/loss plumbing; "
-                 "median epoch of %d; eval/ckpt outside the loop "
-                 "(empty dev set)" % MEASURE_EPOCHS),
+                 "one %d-epoch train() call (steady state); eval/ckpt "
+                 "outside the loop (empty dev set)" % MEASURE_EPOCHS),
     }
     print(json.dumps(out), flush=True)
     path = os.path.join(ROOT, "benchmarks", "trainer_e2e.json")
@@ -218,6 +230,8 @@ def main():
     key = "b%d" % batch_size
     if dtype_name != "float32":
         key += "_" + dtype_name
+    if staging != "none":
+        key += "_" + staging
     existing[key] = out
     with open(path, "w") as f:
         json.dump(existing, f, indent=1)

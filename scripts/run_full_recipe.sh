@@ -10,12 +10,21 @@
 # Usage: scripts/run_full_recipe.sh [workdir]
 # Runs on whatever JAX backend is available (CPU ok: tiny dims).
 #
-# Batch sizing on TPU: the LSTM recurrences are latency-bound on their
-# dependent chains, so larger per-device minibatches are nearly free —
-# prefer --batch_size 32+ (with --minibatch_partition for memory) on real
-# corpora; bench.py's train_step_b32 row quantifies the gain (+16%
-# samples/s at flagship dims). This smoke recipe keeps 8 for its
-# 24-sentence corpus.
+# Measured TPU defaults for REAL corpora (this smoke recipe keeps tiny
+# values for its 24-sentence corpus):
+#   --batch_size 32 --minibatch_partition 1   samples/s saturates at 32
+#                                             (scripts/probe_train_batch.py)
+#   --dtype bfloat16                          throughput runs; f32 for strict
+#                                             reference parity (quality gate
+#                                             validated loss-scale-free)
+#   --feat_dtype int8                         4x less feature H2D on
+#                                             bandwidth-limited hosts
+#   --device_cache True                       corpus-resident features when
+#                                             they fit HBM (~6 GB / 400 h
+#                                             at int8): epochs >= 2 move only
+#                                             token ids over the link
+#   translate: --batch_size 64                bulk beam decode saturates at 64
+#                                             (scripts/probe_serving_batch.py)
 set -e
 cd "$(dirname "$0")/.."
 WORK=${1:-/tmp/stjep_recipe}

@@ -9,6 +9,12 @@ TPU-native additions (all optional):
                         ref: models/Seq2seq.py:64-66)
     --length_bucket     sort batches by length for fewer XLA shapes
     --dtype             compute dtype (float32|bfloat16)
+    --feat_dtype        feature staging dtype (auto|float32|bfloat16|int8);
+                        int8 stages per-utterance-quantized features and
+                        dequantizes on device — 4x less H2D than float32
+    --device_cache      keep the whole corpus of features device-resident
+                        and gather minibatches on-device (epochs >= 2 move
+                        only token ids over the link)
 """
 
 import argparse
