@@ -11,12 +11,17 @@ The corpus is random (throughput only, nothing to learn) but shaped like
 the flagship bench workload (bench.BENCH): 30k-word src vocab, 200-char
 tgt vocab, <=1500-frame utterances, src<=90 tokens, tgt<=150 tokens.
 
-Usage: python scripts/measure_trainer_throughput.py [workdir] [batch_size] [dtype] [staging]
+Usage: python scripts/measure_trainer_throughput.py [workdir] [batch_size] [dtype] [staging] [window]
 
 staging (default none): int8 | cache | cache_int8 — the H2D-compression
 levers of stjep_tpu/data/device_cache.py (--feat_dtype int8 /
 --device_cache True in the CLI). Results land under keys like
 "b32_bfloat16_cache_int8".
+
+window (default: the Trainer's default, 8): the multi-step executor's K —
+with the device cache, K consecutive steps run as ONE jitted lax.scan
+(--train_window in the CLI); 1 disables. An explicit value suffixes the
+result key with "_winK".
 """
 
 import json
@@ -109,6 +114,7 @@ def main():
     dtype_name = sys.argv[3] if len(sys.argv) > 3 else "float32"
     staging = sys.argv[4] if len(sys.argv) > 4 else "none"
     assert staging in ("none", "int8", "cache", "cache_int8"), staging
+    window = int(sys.argv[5]) if len(sys.argv) > 5 else None
 
     import jax
 
@@ -173,6 +179,7 @@ def main():
         feat_dtype=("int8" if "int8" in staging
                     else "bfloat16" if dtype_name == "bfloat16" else None),
         device_cache=staging.startswith("cache"),
+        **({"train_window": window} if window is not None else {}),
     )
 
     def force(params):
@@ -232,6 +239,9 @@ def main():
         key += "_" + dtype_name
     if staging != "none":
         key += "_" + staging
+    if window is not None:
+        key += "_win%d" % window
+        out["train_window"] = window
     existing[key] = out
     with open(path, "w") as f:
         json.dump(existing, f, indent=1)

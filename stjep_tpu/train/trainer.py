@@ -109,6 +109,7 @@ class Trainer:
         n_model=1,
         feat_dtype=None,
         device_cache=False,
+        train_window=8,
     ):
         self.checkpoint_every = checkpoint_every
         self.print_every = print_every
@@ -165,6 +166,11 @@ class Trainer:
         # assemble minibatches inside the step with a gather — steady-state
         # feature H2D drops to the row indices.
         self.device_cache = bool(device_cache)
+        # multi-step window executor: with the device cache active, run K
+        # consecutive steps as one jitted lax.scan (see _build_window_step);
+        # 1 disables. Only effective on the device-cache path — elsewhere
+        # the per-step feature H2D dominates and windows buy nothing.
+        self.train_window = max(1, int(train_window))
         self._feat_caches: Dict = {}
         self._feat_cache = None
         self._feat_dequant = np.dtype(np.float32)  # set from params in train()
@@ -250,11 +256,14 @@ class Trainer:
             total = total + l_de
         return total, losses
 
-    def _build_step(self, cfg: ModelConfig, tx, t_bucket: Optional[int] = None):
-        """One jitted train step. `cache`/`t_bucket` serve the device-resident
-        feature path: the minibatch's features are gathered by row index from
-        the resident corpus INSIDE the step (data/device_cache.py), with the
-        batch's bucketed time length baked in as a static slice."""
+    def _step_core(self, cfg: ModelConfig, tx, t_bucket: Optional[int] = None):
+        """The un-jitted single train step (grad-accum scan + Adam update).
+        `cache`/`t_bucket` serve the device-resident feature path: the
+        minibatch's features are gathered by row index from the resident
+        corpus INSIDE the step (data/device_cache.py), with the batch's
+        bucketed time length baked in as a static slice. Shared by the
+        per-batch jit (`_build_step`) and the multi-step window executor
+        (`_build_window_step`)."""
         mode = self.MODE
 
         def minibatch_feats(mb, cache):
@@ -301,7 +310,41 @@ class Trainer:
             params = optax.apply_updates(params, updates)
             return params, opt_state, losses
 
-        return jax.jit(train_step, donate_argnums=(0, 1))
+        return train_step
+
+    def _build_step(self, cfg: ModelConfig, tx, t_bucket: Optional[int] = None):
+        """One jitted train step (see _step_core)."""
+        return jax.jit(self._step_core(cfg, tx, t_bucket),
+                       donate_argnums=(0, 1))
+
+    def _build_window_step(self, cfg: ModelConfig, tx,
+                           t_bucket: Optional[int], k_steps: int):
+        """K consecutive train steps as ONE jitted program (outer lax.scan
+        over steps, params/opt_state as carry). Only reachable on the
+        device-cache path, where the per-step xs are small index/id arrays —
+        this removes the per-step dispatch + host-loop overhead, which on a
+        remote-attached chip (~2 ms/call tunnel floor) is a large slice of
+        the steady-state step. The scan body compiles once, so compile time
+        matches the single-step program.
+
+        Per-step inputs ride the scan xs: macros (leaves [K, n_mini, ...]),
+        rngs [K] keys, lrs [K], inv_ns [K]. Losses return summed over the
+        window (the print path only ever reads window sums)."""
+        one_step = self._step_core(cfg, tx, t_bucket)
+
+        def window_step(params, opt_state, macros, cache, rngs, lrs, inv_ns):
+            def body(carry, xs):
+                p, o = carry
+                macro, rng, lr, inv_n = xs
+                p, o, losses = one_step(p, o, macro, cache, rng, lr, inv_n)
+                return (p, o), losses
+
+            (params, opt_state), losses = jax.lax.scan(
+                body, (params, opt_state), (macros, rngs, lrs, inv_ns))
+            return params, opt_state, {
+                k: jnp.sum(v) for k, v in losses.items()}
+
+        return jax.jit(window_step, donate_argnums=(0, 1))
 
     # ------------------------------------------------------------- sharding
 
@@ -357,11 +400,9 @@ class Trainer:
         sh = opt_state_shardings(self._tx, params, self._mesh)
         return jax.tree_util.tree_map(jax.device_put, opt_state, sh)
 
-    def _stage_batch(self, item):
-        """Pad/reshape the macro batch and place it on device. Called from
-        the prefetch thread (see _train_epoches) so the host->device
-        transfer (~8 MB/step at flagship shapes) overlaps the previous
-        step's compute instead of serialising with dispatch.
+    def _host_macro(self, item):
+        """Host half of batch staging: pad/reshape the macro batch, resolve
+        cache rows, quantize features — everything except device placement.
 
         Returns (macro, n_real, t_bucket): t_bucket is None except on the
         device-cache path, where features never cross the link — the macro
@@ -385,13 +426,38 @@ class Trainer:
                 macro["acous_scale"] = qd["scale"]
             else:
                 macro["acous_feat"] = macro["acous_feat"].astype(self.feat_dtype)
+        return macro, n_real, t_bucket
+
+    def _place_macro(self, staged, batch_axis: int = 1):
+        """Device half of batch staging (device_put / mesh shard)."""
+        macro, n_real, t_bucket = staged
         if self._mesh is not None:
             from stjep_tpu.parallel.mesh import shard_batch
 
-            macro = shard_batch(macro, self._mesh, batch_axis=1)
+            macro = shard_batch(macro, self._mesh, batch_axis=batch_axis)
         else:
             macro = {k: jax.device_put(v) for k, v in macro.items()}
         return macro, n_real, t_bucket
+
+    def _stage_batch(self, item):
+        """Pad/reshape the macro batch and place it on device. Called from
+        the prefetch thread (see _train_epoches) so the host->device
+        transfer (~8 MB/step at flagship shapes) overlaps the previous
+        step's compute instead of serialising with dispatch."""
+        return self._place_macro(self._host_macro(item))
+
+    def _stage_window(self, staged_list):
+        """Stack K host-staged macros (equal t_bucket) for the multi-step
+        window executor and place them in ONE transfer. Leaves become
+        [K, n_mini, mini, ...] (scan xs layout), so the sharded minibatch
+        axis moves to 2. Returns (macros, inv_ns, t_bucket, K)."""
+        t_bucket = staged_list[0][2]
+        macros = {k: np.stack([s[0][k] for s in staged_list])
+                  for k in staged_list[0][0]}
+        inv_ns = np.asarray([1.0 / s[1] for s in staged_list], np.float32)
+        macros, _, _ = self._place_macro((macros, None, t_bucket),
+                                         batch_axis=2)
+        return macros, inv_ns, t_bucket, len(staged_list)
 
     def _train_batch(self, cfg, params, opt_state, item, step):
         # item: raw host batch dict, or an already-staged
@@ -416,6 +482,73 @@ class Trainer:
         # step itself). The epoch loop drains them once per print window.
         self._last_losses_dev = losses
         return params, opt_state, losses
+
+    def _train_window(self, cfg, params, opt_state, witem, step):
+        """Run K consecutive steps as one jitted program. `step` is the
+        number of COMPLETED steps: the window covers step+1 .. step+K, and
+        the per-step LR schedule / RNG stream match the single-step path
+        exactly (K successive root splits, lr(step+i) per step)."""
+        macros, inv_ns, t_bucket, k_steps = witem
+        key = ("window", t_bucket, k_steps)
+        if key not in self._step_fns:
+            self._step_fns[key] = self._build_window_step(
+                cfg, self._tx, t_bucket, k_steps)
+        cache = self._feat_cache.arrays if t_bucket is not None else {}
+        ks = []
+        for _ in range(k_steps):
+            self._root_rng, k = jax.random.split(self._root_rng)
+            ks.append(k)
+        rngs = jnp.stack(ks)
+        lrs = np.asarray([self._current_lr(step + i)
+                          for i in range(1, k_steps + 1)], np.float32)
+        params, opt_state, losses = self._step_fns[key](
+            params, opt_state, macros, cache, rngs, jnp.asarray(lrs),
+            jnp.asarray(inv_ns))
+        self._last_losses_dev = losses  # window sums (device scalars)
+        return params, opt_state, losses
+
+    def _window_stream(self, raw_iter, step0, total_steps, window):
+        """Group the epoch's raw batches into K-step windows for the
+        multi-step executor, yielding from the prefetch thread either
+        staged single triples (macro, n_real, t_bucket) or window 4-tuples
+        (macros, inv_ns, t_bucket, K).
+
+        A window may only cover steps with no print/checkpoint boundary
+        strictly inside it (the LAST step may sit on one — the epoch loop
+        regains control right after), so the trainer's logging, eval,
+        rollback and early-stop fire at exactly the reference's steps.
+        Batches whose acoustic time bucket differs from the pending
+        window's flush as singles (one program per (bucket, K))."""
+        bounds = [b for b in (self.print_every, self.checkpoint_every)
+                  if b and b > 0]
+
+        def boundary_dist(s):
+            # steps s+1, s+2, ...: how many may run before the loop must
+            # regain control (inclusive of the boundary step itself)
+            d = min((b - (s % b)) for b in bounds) if bounds else window
+            if total_steps > s:
+                d = min(d, total_steps - s)
+            return d
+
+        step = step0
+        pending: List = []
+        for it in raw_iter:
+            pending.append(self._host_macro(it))
+            if pending[0][2] != pending[-1][2]:  # bucket changed: drain
+                while len(pending) > 1:
+                    step += 1
+                    yield self._place_macro(pending.pop(0))
+            while len(pending) >= window:
+                if boundary_dist(step) >= window:
+                    step += window
+                    yield self._stage_window(pending[:window])
+                    pending = pending[window:]
+                else:
+                    step += 1
+                    yield self._place_macro(pending.pop(0))
+        for s in pending:
+            step += 1
+            yield self._place_macro(s)
 
     def _last_losses(self) -> Dict:
         """Most recent train step's loss dict (device scalars); test hook."""
@@ -652,20 +785,34 @@ class Trainer:
             # staging (pad + device_put / shard) runs INSIDE the prefetch
             # thread: host I/O and the H2D transfer both overlap compute.
             # With the device cache active the iterator skips the per-epoch
-            # np.load/CMVN entirely and stages row indices instead.
-            batch_stream = host_prefetch(
-                (self._stage_batch(it)
-                 for it in train_set.iter_batches(with_acous=not use_cache)),
-                size=2,
-            )
-            for idx, item in enumerate(batch_stream):
-                step += 1
-                step_elapsed += 1
-                if step_elapsed <= 2:
-                    log.info("step %d (first steps include compilation)", step)
-                params, opt_state, losses = self._train_batch(
-                    cfg, params, opt_state, item, step
-                )
+            # np.load/CMVN entirely and stages row indices instead — and the
+            # multi-step window executor groups K steps into one jitted
+            # program (per-step xs are just ids/indices at that point).
+            win = self.train_window if use_cache else 1
+            raw_iter = train_set.iter_batches(with_acous=not use_cache)
+            if win > 1:
+                staged_iter = self._window_stream(
+                    raw_iter, step, total_steps, win)
+            else:
+                staged_iter = (self._stage_batch(it) for it in raw_iter)
+            batch_stream = host_prefetch(staged_iter, size=2)
+            for item in batch_stream:
+                k_steps = item[3] if len(item) == 4 else 1
+                if k_steps > 1:
+                    params, opt_state, losses = self._train_window(
+                        cfg, params, opt_state, item, step
+                    )
+                    step += k_steps
+                    step_elapsed += k_steps
+                else:
+                    step += 1
+                    step_elapsed += 1
+                    if step_elapsed <= 2:
+                        log.info(
+                            "step %d (first steps include compilation)", step)
+                    params, opt_state, losses = self._train_batch(
+                        cfg, params, opt_state, item, step
+                    )
                 loss_window.append(losses)
                 if len(loss_window) >= 1024:
                     # bound the window: with print_every > total steps (or a
