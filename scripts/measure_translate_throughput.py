@@ -69,33 +69,36 @@ def main():
     )
     params = init_seq2seq(jax.random.PRNGKey(0), cfg)
 
-    def one_pass(depth: int, tag: str):
+    def one_pass(depth: int, tag: str, feat_dtype: str = "auto"):
         os.environ["STJEP_DECODE_PIPELINE"] = str(depth)
         outdir = os.path.join(work, "out_%s" % tag)
         t0 = time.perf_counter()
         tr.translate(ds, cfg, params, outdir, max_seq_len=b["decode_len"],
                      beam_width=b["beam"], gen_mode="ST",
-                     beam_cache_dtype="bfloat16",
+                     beam_cache_dtype="bfloat16", feat_dtype=feat_dtype,
                      logger_print=lambda *a: None)
         return time.perf_counter() - t0
 
-    # warmup pass compiles (persistent cache makes repeats cheap)
+    # warmup passes compile (persistent cache makes repeats cheap)
     one_pass(4, "piped")
-    # the remote service's speed drifts over minutes; ALTERNATE the two
-    # depths so a slow window penalises both equally, and report medians
-    t1, t4 = [], []
+    one_pass(4, "piped_q", "int8")
+    # the remote service's speed drifts over minutes; ALTERNATE the arms
+    # so a slow window penalises all equally, and report medians
+    t1, t4, t8 = [], [], []
     for _ in range(3):
         t1.append(one_pass(1, "blocking"))
         t4.append(one_pass(4, "piped"))
+        t8.append(one_pass(4, "piped_q", "int8"))
 
-    def row(depth, times):
+    def row(depth, times, **extra):
         sec = float(np.median(times))
         return {"pipeline_depth": depth, "wall_s": round(sec, 2),
                 "per_pass_s": [round(x, 2) for x in times],
-                "utt_per_s": round(n_utt / sec, 2)}
+                "utt_per_s": round(n_utt / sec, 2), **extra}
 
     blocking = row(1, t1)
     piped = row(4, t4)
+    piped_q = row(4, t8, feat_dtype="int8")
     out = {
         "batch_size": batch_size,
         "n_utterances": n_utt,
@@ -103,10 +106,12 @@ def main():
         "cache_dtype": "bfloat16",
         "blocking": blocking,
         "pipelined": piped,
+        "pipelined_int8": piped_q,
         "note": ("end-to-end translate() incl. Dataset np.load+CMVN, "
-                 "staging, beam decode, detok, file write; depths "
+                 "staging, beam decode, detok, file write; arms "
                  "alternated per pass (remote-service speed drifts), "
-                 "median of 3 after a compile warmup"),
+                 "median of 3 after a compile warmup; pipelined_int8 "
+                 "stages int8-quantized features (--feat_dtype int8)"),
     }
     print(json.dumps(out), flush=True)
     path = os.path.join(ROOT, "benchmarks", "translate_e2e.json")

@@ -170,6 +170,92 @@ def test_translate_pipeline_depths_and_fwd_cache(corpus, tmp_path):
     assert len(tr._FWD_CACHE) == 1  # one program, reused across calls
 
 
+def test_translate_feat_dtype_int8_plumbing(corpus, tmp_path):
+    """--feat_dtype int8 (quantize on the prefetch thread, dequantize
+    inside the jitted decode) must produce EXACTLY the hypotheses of
+    decoding host-side quantize->dequantize features staged as f32: the
+    quantization noise is identical in both arms, so any difference is a
+    staging/jit plumbing bug, not a near-tie flip."""
+    import jax
+    import numpy as np
+
+    import translate as tr
+    from stjep_tpu.config import ModelConfig
+    from stjep_tpu.data.dataset import Dataset
+    from stjep_tpu.data.device_cache import quantize_batch
+    from stjep_tpu.models.seq2seq import init_seq2seq
+
+    def make_ds():
+        return Dataset(
+            path_src=corpus["path_src"], path_tgt=corpus["path_tgt"],
+            path_vocab_src=corpus["path_vocab_src"],
+            path_vocab_tgt=corpus["path_vocab_tgt"],
+            acous_path=corpus["acous_path"], acous_norm=False,
+            acous_max_len=400, use_type="char",
+            max_seq_len_src=16, max_seq_len_tgt=24,
+            batch_size=5, mode="ST", seed=0,
+        )
+
+    ds = make_ds()
+    cfg = ModelConfig(
+        enc_vocab_size=len(ds.vocab_src), dec_vocab_size=len(ds.vocab_tgt),
+        enc_embedding_size=8, dec_embedding_size=8, acous_dim=8,
+        acous_hidden_size=4, dim_model=8, dim_feedforward=16, num_heads=2,
+        enc_layers=1, dec_layers=1, num_unilstm_dec=1,
+        max_seq_len_src=16, max_seq_len_tgt=24, mode="ASR_ST",
+    )
+    params = init_seq2seq(jax.random.PRNGKey(0), cfg)
+
+    tr._FWD_CACHE.clear()
+    p_int8 = tr.translate(
+        ds, cfg, params, str(tmp_path / "int8"), max_seq_len=24,
+        beam_width=2, gen_mode="ST", feat_dtype="int8",
+        logger_print=lambda *a: None)
+
+    # reference arm: same quantization applied on the host, staged as f32
+    ds2 = make_ds()
+    orig = ds2.materialise_batch
+
+    def roundtrip(idx):
+        item = dict(orig(idx))
+        if "acous_feat" in item:
+            packed = quantize_batch(item["acous_feat"], np.float32)
+            item["acous_feat"] = (
+                packed["q"].astype(np.float32)
+                * packed["scale"][..., None, None])
+        return item
+
+    ds2.materialise_batch = roundtrip
+    p_f32 = tr.translate(
+        ds2, cfg, params, str(tmp_path / "rt32"), max_seq_len=24,
+        beam_width=2, gen_mode="ST", feat_dtype="float32",
+        logger_print=lambda *a: None)
+
+    with open(p_int8, encoding="utf8") as f:
+        int8_lines = f.read()
+    with open(p_f32, encoding="utf8") as f:
+        rt_lines = f.read()
+    assert int8_lines == rt_lines and int8_lines.strip()
+
+
+@pytest.mark.slow  # heavy integration: slow lane
+def test_translate_cli_feat_dtype_int8(trained, tmp_path):
+    corpus, latest = trained
+    out = str(tmp_path / "eval_q")
+    r = _run([
+        "translate.py", "--test_path_src", corpus["path_src"],
+        "--test_path_tgt", corpus["path_tgt"],
+        "--test_acous_path", corpus["acous_path"],
+        "--load", latest, "--test_path_out", out,
+        "--eval_mode", "1", "--gen_mode", "ASR", "--batch_size", "6",
+        "--beam_width", "1", "--max_seq_len", "16", "--use_type", "word",
+        "--feat_dtype", "int8",
+    ])
+    assert r.returncode == 0, r.stderr[-3000:]
+    lines = open(os.path.join(out, "translate.txt")).read().splitlines()
+    assert len(lines) == 12
+
+
 @pytest.mark.slow  # heavy integration: slow lane
 def test_translate_cli_unsupported_lm_mode_fails_loudly(trained, tmp_path):
     """lm_mode s-rnn/d must error (the reference asserts for s-rnn;

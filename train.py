@@ -154,12 +154,14 @@ def load_arguments(parser):
              'on-device: per-epoch feature H2D and np.load/CMVN drop to '
              'zero after epoch 1; needs the corpus to fit in HBM '
              '(a 400h fbank corpus is ~6 GB at int8)')
-    parser.add_argument('--train_window', type=int, default=8,
+    parser.add_argument('--train_window', type=int, default=1,
         help='multi-step executor: with --device_cache, run up to K '
              'consecutive train steps as ONE jitted program (lax.scan over '
              'steps) — removes per-step dispatch/host-loop overhead on '
-             'remote-attached chips; 1 disables. Print/eval cadence is '
-             'unchanged (windows never straddle a boundary)')
+             'remote-attached chips; 1 disables (default: at minibatch 32 '
+             'the dispatch floor is ~4%% of the step, measured within '
+             'tunnel variance, while the scan program compiles ~4x slower '
+             '— enable for dispatch-bound configs: tiny models/batches)')
 
     return parser
 
@@ -318,7 +320,7 @@ def main():
             else (None if config['feat_dtype'] == 'float32'
                   else config['feat_dtype'])),
         device_cache=bool(config.get('device_cache')),
-        train_window=int(config.get('train_window', 8) or 1),
+        train_window=int(config.get('train_window', 1) or 1),
     )
 
     train_sets, dev_sets, vocab_set = build_datasets(config, t)

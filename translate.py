@@ -52,6 +52,14 @@ def load_arguments(parser):
         help='decode dtype: float32 (token-identical to the reference) | '
              'bfloat16 (~1.5x faster; the KV cache AND the staged acoustic '
              'features are bf16, so hypotheses may flip near-ties)')
+    parser.add_argument('--feat_dtype', type=str, default='auto',
+        help='acoustic-feature staging dtype: auto (follows '
+             '--beam_cache_dtype) | float32 | bfloat16 | int8. int8 stages '
+             'per-utterance-quantized features and dequantizes on device — '
+             '4x fewer host->device bytes than f32 (the dominant transfer '
+             'on bandwidth-limited hosts); quantization step is ~amax/127, '
+             'far below the CMVN feature noise floor, but near-tie '
+             'hypotheses may flip vs float32')
     return parser
 
 
@@ -88,7 +96,7 @@ _FWD_CACHE: dict = {}
 def translate(test_set, cfg, params, test_path_out, max_seq_len, beam_width,
               seqrev=False, gen_mode='ASR', lm_mode='null', lm_model=None,
               history='HYP', minibatch_size=None, logger_print=print,
-              beam_cache_dtype='float32'):
+              beam_cache_dtype='float32', feat_dtype='auto'):
     """MODE 1: beam-decode the test set to translate.txt
     (ref: translate.py:56-197)."""
     import jax
@@ -120,6 +128,11 @@ def translate(test_set, cfg, params, test_path_out, max_seq_len, beam_width,
     else:
         lm_fuse = make_ngram_fuser(lm_model, lm_mode)
     cache_dtype = jnp.bfloat16 if beam_cache_dtype == 'bfloat16' else None
+    # resolve the feature staging dtype: 'auto' follows the decode dtype
+    # (the pre-int8 behavior), so existing invocations are unchanged
+    if feat_dtype in (None, 'auto'):
+        feat_dtype = 'bfloat16' if cache_dtype is not None else 'float32'
+    assert feat_dtype in ('float32', 'bfloat16', 'int8'), feat_dtype
     # cache the jitted decode across translate() calls: re-wrapping with
     # jax.jit discards the wrapper's trace cache, and RE-TRACING the beam
     # program costs seconds — a serving process that translates stream
@@ -128,14 +141,27 @@ def translate(test_set, cfg, params, test_path_out, max_seq_len, beam_width,
     fwd_key = None
     if lm_fuse is None:
         fwd_key = (repr(cfg), gen_mode, beam_width, max_seq_len, refen,
-                   beam_cache_dtype)
+                   beam_cache_dtype, feat_dtype)
     fwd = _FWD_CACHE.get(fwd_key)
     if fwd is None:
-        fwd = jax.jit(partial(
+        base = partial(
             forward_translate, cfg=cfg, mode=gen_mode, beam_width=beam_width,
             penalty_factor=1.0, max_seq_len=max_seq_len, refen=refen,
             lm_fuse=lm_fuse, cache_dtype=cache_dtype,
-        ))
+        )
+        if feat_dtype == 'int8':
+            from stjep_tpu.data.device_cache import dequantize
+
+            def _fwd_q(params, acous_q=None, acous_scale=None, **kw):
+                # int8-staged features: dequantize on device (the first
+                # consumer is the BiLSTM pyramid's MXU matmul)
+                if acous_q is not None:
+                    kw['acous_feats'] = dequantize(acous_q, acous_scale)
+                return base(params, **kw)
+
+            fwd = jax.jit(_fwd_q)
+        else:
+            fwd = jax.jit(base)
         if fwd_key is not None:
             _FWD_CACHE[fwd_key] = fwd
 
@@ -164,13 +190,26 @@ def translate(test_set, cfg, params, test_path_out, max_seq_len, beam_width,
                 if alen > v.shape[1]:
                     v = np.pad(v, [(0, 0), (0, alen - v.shape[1]), (0, 0)])
                 v = v[:, :alen]
-                if cache_dtype is not None:
-                    # the user already opted into bf16 decode state; bf16
-                    # feature staging halves the dominant H2D transfer
-                    import ml_dtypes
+                if feat_dtype == 'int8':
+                    # quantize on the prefetch thread: 4x fewer H2D bytes
+                    # than f32; dequantized on device inside the jitted
+                    # decode (see _fwd_q above)
+                    from stjep_tpu.data.device_cache import quantize_batch
 
-                    v = v.astype(ml_dtypes.bfloat16)
-                kwargs['acous_feats'] = jnp.asarray(v)
+                    import ml_dtypes
+                    scale_dtype = (ml_dtypes.bfloat16
+                                   if cache_dtype is not None else np.float32)
+                    packed = quantize_batch(v, scale_dtype)
+                    kwargs['acous_q'] = jnp.asarray(packed['q'])
+                    kwargs['acous_scale'] = jnp.asarray(packed['scale'])
+                else:
+                    if feat_dtype == 'bfloat16':
+                        # the user already opted into bf16 decode state; bf16
+                        # feature staging halves the dominant H2D transfer
+                        import ml_dtypes
+
+                        v = v.astype(ml_dtypes.bfloat16)
+                    kwargs['acous_feats'] = jnp.asarray(v)
                 kwargs['acous_lens'] = jnp.asarray(item['acouslen'][st:ed])
             if gen_mode == 'MT' or refen:
                 kwargs['src'] = jnp.asarray(item['srcid'][st:ed])
@@ -416,7 +455,8 @@ def main():
                   config['max_seq_len'], config['beam_width'],
                   seqrev=config['seqrev'], gen_mode=gen_mode,
                   lm_mode=lm_mode, lm_model=lm_model, history=history,
-                  beam_cache_dtype=config['beam_cache_dtype'])
+                  beam_cache_dtype=config['beam_cache_dtype'],
+                  feat_dtype=config.get('feat_dtype', 'auto'))
     elif MODE == 2:
         assert config['combine_path'], (
             "--eval_mode 2 (checkpoint combine/average) requires "
