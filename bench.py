@@ -38,27 +38,28 @@ BENCH = dict(
 )
 
 
-def analytic_train_flops(cfg, B, T, Ls, Lt):
-    """Analytic matmul FLOPs of one ASR_ST train step (fwd+bwd+apply).
-
-    Counts the MXU work only (matmul MACs x 2; elementwise/softmax ignored),
-    backward ~= 2x forward, so train = 3x forward. Used for the MFU field:
-    MFU = flops_per_step * steps_per_s / chip peak.
-    """
+def analytic_train_flop_parts(cfg, B, T, Ls, Lt):
+    """Per-component analytic matmul FLOPs of one ASR_ST train step
+    (fwd+bwd+apply), as a dict. Counts the MXU work only (matmul MACs x 2;
+    elementwise/softmax ignored), backward ~= 2x forward, so train = 3x
+    forward. Summed by analytic_train_flops for the MFU field; consumed
+    per-component by scripts/measure_sol_decomposition.py."""
     H = cfg.acous_hidden_size
     D = cfg.dim_model
     F = cfg.dim_feedforward
     E = cfg.enc_embedding_size
     Ve = cfg.enc_vocab_size
     Vd = cfg.dec_vocab_size
-    macs = 0.0
+    parts = {}
     # pyramidal BiLSTM: per step/direction (in*4H + H*4H) MACs; input doubles
     # (concat adjacent pairs of the 2H output) while T halves each layer
     t, d = T, cfg.acous_dim
+    macs = 0.0
     for _ in range(cfg.num_pyramid_layers):
         macs += 2 * t * B * (d * 4 * H + H * 4 * H)  # x2 directions
         t //= 2
         d = 4 * H
+    parts["pyramid"] = macs
     Tk = T // 8
     # LAS decoder: Ls-1 steps of 3-layer LSTM + bilinear att + FFN + out proj
     steps = Ls - 1
@@ -66,20 +67,26 @@ def analytic_train_flops(cfg, B, T, Ls, Lt):
     att = Tk * 2 * H * D / max(steps, 1) + Tk * D  # keys hoisted + per-step dot
     ffn = (2 * H + D) * D
     outp = D * Ve
-    macs += steps * B * (lstm + att + ffn + outp)
+    parts["las_decoder"] = steps * B * (lstm + att + ffn + outp)
     # static+dynamic projection
-    macs += B * (Ls - 1) * (E + D) * D
+    parts["src_emb_proj"] = B * (Ls - 1) * (E + D) * D
     # transformer encoder over Ls-1
     Lse = Ls - 1
-    macs += cfg.enc_layers * B * (Lse * (4 * D * D + 2 * D * F) + 2 * Lse * Lse * D)
+    parts["tf_encoder"] = cfg.enc_layers * B * (
+        Lse * (4 * D * D + 2 * D * F) + 2 * Lse * Lse * D)
     # transformer decoder over Lt (self + cross + FFN) + vocab projection
-    macs += cfg.dec_layers * B * (
+    parts["tf_decoder"] = cfg.dec_layers * B * (
         Lt * (4 * D * D + 2 * D * F) + 2 * Lt * Lt * D
         + Lt * 2 * D * D + Lse * 2 * D * D + 2 * Lt * Lse * D
     )
-    macs += B * Lt * D * Vd
-    fwd_flops = 2.0 * macs
-    return 3.0 * fwd_flops
+    parts["st_head"] = B * Lt * D * Vd
+    # MACs -> FLOPs (x2), fwd+bwd+apply ~= 3x fwd
+    return {k: 3.0 * 2.0 * v for k, v in parts.items()}
+
+
+def analytic_train_flops(cfg, B, T, Ls, Lt):
+    """Total analytic train-step FLOPs (see analytic_train_flop_parts)."""
+    return sum(analytic_train_flop_parts(cfg, B, T, Ls, Lt).values())
 
 
 # TPU v5e peak: 197 TFLOP/s bf16 (f32 runs through the same MXU via passes;

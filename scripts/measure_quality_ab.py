@@ -21,11 +21,21 @@ metric code (stjep_tpu.utils.metrics on both arms' output files).
 Unmatched by nature: parameter init and dropout/SpecAugment RNG streams
 (torch vs JAX) — so trajectories agree statistically, not bitwise.
 
-Usage: python scripts/measure_quality_ab.py [workdir] [epochs_asr] [epochs_joint]
+MULTI-SEED: each arm runs once per training seed (--random_seed in both
+CLIs; the corpus stays fixed) and the headline is the per-arm mean/range
+over seeds. Final metrics per seed decode the LATEST SAVED checkpoint,
+which both frameworks write only when the dev criterion improves
+(ref: trainer/trainer_asr.py:409; stjep_tpu/train/trainer.py save
+criterion) — i.e. best-dev-checkpoint selection, the recipe's actual
+model-selection rule, not the last-eval snapshot.
 
-Writes benchmarks/quality_ab.json (both arms + trajectories) and
-benchmarks/quality_synthetic_hard.json (the jax arm alone — the
-non-saturating quality gate for future rounds).
+Usage: python scripts/measure_quality_ab.py [workdir] [epochs_asr] \
+           [epochs_joint] [seeds_csv (default 333,334,335)]
+
+Writes benchmarks/quality_ab.json (both arms, all seeds + trajectories)
+and benchmarks/quality_synthetic_hard.json (the jax arm alone — the
+non-saturating multi-seed quality gate for future rounds: mean +/- the
+max of the observed cross-seed range and 0.05).
 """
 
 import json
@@ -203,12 +213,27 @@ def latest_subdir(d):
     return subs[-1]
 
 
-def run_jax_arm(work, data, e_asr, e_joint):
+def peak_dev(traj):
+    """Best dev point over a trajectory (the save criterion tracks bleu
+    once any bleu > 0, acc before that — ref: trainer/trainer_asr.py:409)."""
+    out = {}
+    for side, pts in traj.items():
+        if not pts:
+            continue
+        out[side] = {
+            "best_bleu": max(p.get("bleu", 0.0) for p in pts),
+            "best_acc": max(p.get("acc", p.get("accuracy", 0.0))
+                            for p in pts),
+        }
+    return out
+
+
+def run_jax_arm(work, data, e_asr, e_joint, seed):
     py = sys.executable
-    arm = f"{work}/jax"
+    arm = f"{work}/jax_s{seed}"
     os.makedirs(arm, exist_ok=True)
     env = cpu_env()
-    C = common_flags(data)
+    C = common_flags(data) + ["--random_seed", str(seed)]
     t1 = sh([py, "train.py", "--mode", "ASR", "--save", f"{arm}/asr",
              "--load_mode", "ALL", "--num_epochs", str(e_asr),
              *asr_flags(data), *C], f"{arm}/log.asr", env=env)
@@ -226,24 +251,27 @@ def run_jax_arm(work, data, e_asr, e_joint):
     sh([py, "translate.py", "--load", joint_ckpt,
         *dec_flags(data, f"{arm}/dec_st", "ST", 5)],
        f"{arm}/log.dec_st", env=env)
+    traj = {
+        "asr_stage": parse_jax_scalars(f"{arm}/asr"),
+        "joint_stage": parse_jax_scalars(f"{arm}/asr_st"),
+    }
     return {
+        "seed": seed,
         "wall_s": {"asr": round(t1, 1), "joint": round(t2, 1)},
-        "trajectory": {
-            "asr_stage": parse_jax_scalars(f"{arm}/asr"),
-            "joint_stage": parse_jax_scalars(f"{arm}/asr_st"),
-        },
-        **final_metrics(work, data, "jax"),
+        "best_dev_joint": peak_dev(traj["joint_stage"]),
+        "trajectory": traj,
+        **final_metrics(work, data, f"jax_s{seed}"),
     }
 
 
-def run_torch_arm(work, data, e_asr, e_joint):
+def run_torch_arm(work, data, e_asr, e_joint, seed):
     py = sys.executable
-    arm = f"{work}/torch"
+    arm = f"{work}/torch_s{seed}"
     scratch = f"{arm}/scratch"
     os.makedirs(arm, exist_ok=True)
     wrap = [py, os.path.join(ROOT, "scripts", "run_reference_cli.py"),
             scratch]
-    C = common_flags(data)
+    C = common_flags(data) + ["--random_seed", str(seed)]
     t1 = sh([*wrap, "train", "--mode", "ASR", "--save", f"{arm}/asr",
              "--load_mode", "ALL", "--num_epochs", str(e_asr),
              *asr_flags(data), *C], f"{arm}/log.asr")
@@ -257,20 +285,38 @@ def run_torch_arm(work, data, e_asr, e_joint):
         *dec_flags(data, f"{arm}/dec_asr", "ASR", 0)], f"{arm}/log.dec_asr")
     sh([*wrap, "translate", "--load", joint_ckpt,
         *dec_flags(data, f"{arm}/dec_st", "ST", 5)], f"{arm}/log.dec_st")
-    return {
-        "wall_s": {"asr": round(t1, 1), "joint": round(t2, 1)},
-        "trajectory": {
-            "asr_stage": parse_ref_log(f"{arm}/log.asr"),
-            "joint_stage": parse_ref_log(f"{arm}/log.joint"),
-        },
-        **final_metrics(work, data, "torch"),
+    traj = {
+        "asr_stage": parse_ref_log(f"{arm}/log.asr"),
+        "joint_stage": parse_ref_log(f"{arm}/log.joint"),
     }
+    return {
+        "seed": seed,
+        "wall_s": {"asr": round(t1, 1), "joint": round(t2, 1)},
+        "best_dev_joint": peak_dev(traj["joint_stage"]),
+        "trajectory": traj,
+        **final_metrics(work, data, f"torch_s{seed}"),
+    }
+
+
+def summarize(runs):
+    """Per-arm mean/min/max over seeds of the best-checkpoint metrics."""
+    out = {}
+    for key in ("asr_dev_wer", "st_dev_bleu"):
+        vals = [r[key] for r in runs]
+        out[key] = {
+            "mean": round(sum(vals) / len(vals), 4),
+            "min": min(vals), "max": max(vals),
+            "per_seed": {str(r["seed"]): r[key] for r in runs},
+        }
+    return out
 
 
 def main():
     work = sys.argv[1] if len(sys.argv) > 1 else "/tmp/stjep_ab"
     e_asr = int(sys.argv[2]) if len(sys.argv) > 2 else 80
     e_joint = int(sys.argv[3]) if len(sys.argv) > 3 else 80
+    seeds = [int(s) for s in
+             (sys.argv[4] if len(sys.argv) > 4 else "333,334,335").split(",")]
     os.makedirs(work, exist_ok=True)
     data = os.path.join(work, "data")
 
@@ -281,15 +327,27 @@ def main():
     make_hard_corpus(data, n_sent=N_DEV, seed=7, prefix="dev")
     floor = HARD_N_PAIRS / HARD_N_WORDS  # 2*pairs/words * 0.5
 
-    print("[A] jax arm", flush=True)
-    jax_res = run_jax_arm(work, data, e_asr, e_joint)
-    print(json.dumps({k: jax_res[k] for k in
-                      ("asr_dev_wer", "st_dev_bleu", "wall_s")}), flush=True)
-    print("[B] torch reference arm", flush=True)
-    torch_res = run_torch_arm(work, data, e_asr, e_joint)
-    print(json.dumps({k: torch_res[k] for k in
-                      ("asr_dev_wer", "st_dev_bleu", "wall_s")}), flush=True)
+    jax_runs, torch_runs = [], []
+    for seed in seeds:
+        print(f"[A] jax arm, seed {seed}", flush=True)
+        r = run_jax_arm(work, data, e_asr, e_joint, seed)
+        jax_runs.append(r)
+        print(json.dumps({k: r[k] for k in
+                          ("seed", "asr_dev_wer", "st_dev_bleu", "wall_s")}),
+              flush=True)
+        print(f"[B] torch reference arm, seed {seed}", flush=True)
+        r = run_torch_arm(work, data, e_asr, e_joint, seed)
+        torch_runs.append(r)
+        print(json.dumps({k: r[k] for k in
+                          ("seed", "asr_dev_wer", "st_dev_bleu", "wall_s")}),
+              flush=True)
 
+    jax_sum, torch_sum = summarize(jax_runs), summarize(torch_runs)
+    overlap = {
+        k: (jax_sum[k]["min"] <= torch_sum[k]["max"]
+            and torch_sum[k]["min"] <= jax_sum[k]["max"])
+        for k in ("asr_dev_wer", "st_dev_bleu")
+    }
     result = {
         "corpus": {
             "train_sents": N_TRAIN, "dev_sents": N_DEV,
@@ -299,30 +357,73 @@ def main():
         },
         "config": DIMS,
         "epochs": {"asr": e_asr, "joint": e_joint},
+        "seeds": seeds,
+        "selection": "latest saved checkpoint = best-dev checkpoint (both "
+                     "arms save only on dev-criterion improvement, ref: "
+                     "trainer/trainer_asr.py:409)",
         "recipe": "ASR pretrain -> ASR_ST joint (load_mode ASR), "
                   "constant LR 0.003, batch 32",
         "platform": "host cpu, both arms (jax forced off the TPU tunnel)",
         "metric_code": "stjep_tpu.utils.metrics on both arms' decodes",
-        "jax": jax_res,
-        "torch_reference": torch_res,
+        "summary": {"jax": jax_sum, "torch_reference": torch_sum,
+                    "ranges_overlap": overlap},
+        "jax": jax_runs,
+        "torch_reference": torch_runs,
     }
-    print(json.dumps(result, indent=2))
+    print(json.dumps(result["summary"], indent=2))
     with open(os.path.join(ROOT, "benchmarks", "quality_ab.json"), "w") as f:
         json.dump(result, f, indent=2)
+
+    # regression gate: multi-seed mean +/- max(observed cross-seed range,
+    # 0.05 floor so a 2-3 seed lucky cluster can't over-tighten the gate)
+    def band(s):
+        return round(max(s["max"] - s["min"], 0.05), 4)
 
     gate = {
         "corpus": result["corpus"],
         "config": DIMS,
         "epochs": result["epochs"],
-        "asr_dev_wer": jax_res["asr_dev_wer"],
-        "st_dev_bleu": jax_res["st_dev_bleu"],
-        "gate": "re-run scripts/measure_quality_ab.py; dev WER/BLEU must "
-                "land within +/-0.08 of these values",
+        "seeds": seeds,
+        "asr_dev_wer": jax_sum["asr_dev_wer"]["mean"],
+        "asr_dev_wer_band": band(jax_sum["asr_dev_wer"]),
+        "st_dev_bleu": jax_sum["st_dev_bleu"]["mean"],
+        "st_dev_bleu_band": band(jax_sum["st_dev_bleu"]),
+        "per_seed": {
+            "asr_dev_wer": jax_sum["asr_dev_wer"]["per_seed"],
+            "st_dev_bleu": jax_sum["st_dev_bleu"]["per_seed"],
+        },
+        "gate": "re-run scripts/measure_quality_ab.py (same seeds); the "
+                "multi-seed mean dev WER/BLEU must land within the recorded "
+                "band of these means",
     }
-    with open(os.path.join(
-            ROOT, "benchmarks", "quality_synthetic_hard.json"), "w") as f:
+    # regression check: if a prior gate exists for the same config/epochs,
+    # assert this run's multi-seed means land inside its recorded bands
+    # BEFORE overwriting it (set STJEP_QUALITY_UPDATE=1 to skip the check
+    # when intentionally re-baselining).
+    gate_path = os.path.join(
+        ROOT, "benchmarks", "quality_synthetic_hard.json")
+    failures = []
+    if (os.path.exists(gate_path)
+            and not os.environ.get("STJEP_QUALITY_UPDATE")):
+        with open(gate_path) as f:
+            old = json.load(f)
+        if (old.get("config") == DIMS and old.get("epochs") == gate["epochs"]
+                and "asr_dev_wer_band" in old):
+            for k in ("asr_dev_wer", "st_dev_bleu"):
+                lo = old[k] - old[k + "_band"]
+                hi = old[k] + old[k + "_band"]
+                if not (lo <= gate[k] <= hi):
+                    failures.append(
+                        f"{k}: mean {gate[k]} outside gate "
+                        f"[{round(lo, 4)}, {round(hi, 4)}]")
+            print("gate check vs previous quality_synthetic_hard.json:",
+                  "FAIL " + "; ".join(failures) if failures else "PASS",
+                  flush=True)
+    with open(gate_path, "w") as f:
         json.dump(gate, f, indent=2)
     print("wrote benchmarks/quality_ab.json and quality_synthetic_hard.json")
+    if failures:
+        raise SystemExit("quality gate FAILED: " + "; ".join(failures))
 
 
 if __name__ == "__main__":

@@ -18,10 +18,12 @@ levers of stjep_tpu/data/device_cache.py (--feat_dtype int8 /
 --device_cache True in the CLI). Results land under keys like
 "b32_bfloat16_cache_int8".
 
-window (default: the Trainer's default, 8): the multi-step executor's K —
-with the device cache, K consecutive steps run as ONE jitted lax.scan
-(--train_window in the CLI); 1 disables. An explicit value suffixes the
-result key with "_winK".
+window (default 1 = the single-step path, matching the Trainer/CLI
+default): the multi-step executor's K — with the device cache, K
+consecutive steps run as ONE jitted lax.scan (--train_window in the CLI).
+Any window != 1 suffixes the result key with "_winK" so a windowed run can
+never overwrite a single-step baseline; the window used is always recorded
+in the result body.
 """
 
 import json
@@ -114,7 +116,7 @@ def main():
     dtype_name = sys.argv[3] if len(sys.argv) > 3 else "float32"
     staging = sys.argv[4] if len(sys.argv) > 4 else "none"
     assert staging in ("none", "int8", "cache", "cache_int8"), staging
-    window = int(sys.argv[5]) if len(sys.argv) > 5 else None
+    window = int(sys.argv[5]) if len(sys.argv) > 5 else 1
 
     import jax
 
@@ -179,7 +181,7 @@ def main():
         feat_dtype=("int8" if "int8" in staging
                     else "bfloat16" if dtype_name == "bfloat16" else None),
         device_cache=staging.startswith("cache"),
-        **({"train_window": window} if window is not None else {}),
+        train_window=window,
     )
 
     def force(params):
@@ -217,6 +219,7 @@ def main():
         "batch_size": batch_size,
         "dtype": dtype_name,
         "staging": staging,
+        "train_window": window,
         "n_utterances": N_UTT,
         "steps_per_epoch": steps_per_epoch,
         "warmup_epoch_s": round(warm_s, 1),
@@ -239,9 +242,8 @@ def main():
         key += "_" + dtype_name
     if staging != "none":
         key += "_" + staging
-    if window is not None:
+    if window != 1:
         key += "_win%d" % window
-        out["train_window"] = window
     existing[key] = out
     with open(path, "w") as f:
         json.dump(existing, f, indent=1)

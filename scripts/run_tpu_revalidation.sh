@@ -15,8 +15,10 @@ import jax, jax.numpy as jnp
 print('probe:', float(jnp.sum(jnp.ones((8,8)))), jax.devices())
 " 2>&1 | tail -1
 
-echo "[2/4] kernel sanity (check_flash_tpu)"
-python /root/repo/scripts/check_flash_tpu.py 2>&1 | tail -5 | tee /tmp/reval_flash.log
+echo "[2/4] kernel parity (check_flash_tpu -> benchmarks/flash_tpu.json)"
+# writes the committed on-hardware parity artifact (beam + greedy token
+# identity, fused-LAS fwd/grad deviations); exits non-zero on token drift
+python /root/repo/scripts/check_flash_tpu.py 2>&1 | tail -20
 
 echo "[3/4] bench"
 python /root/repo/bench.py 2>&1 | tail -1 | tee /tmp/reval_bench.log

@@ -107,8 +107,12 @@ def lstm_scan(
         valid = (jnp.arange(T)[:, None] < lengths[None, :])[:, :, None]
 
     w_hh = params["w_hh"]
-    h0 = jnp.zeros((B, hidden_size), dtype=x.dtype)
-    c0 = jnp.zeros((B, hidden_size), dtype=x.dtype)
+    # carry dtype = the PROMOTED compute dtype (x_proj), not the raw input's:
+    # bf16-staged features with f32 params (translate/train --feat_dtype
+    # bfloat16 on an f32 checkpoint) make x bf16 while the recurrence runs
+    # f32 — a bf16 h0 would break the scan's carry-type invariance.
+    h0 = jnp.zeros((B, hidden_size), dtype=x_proj.dtype)
+    c0 = jnp.zeros((B, hidden_size), dtype=x_proj.dtype)
 
     def step(carry, inp):
         h, c = carry

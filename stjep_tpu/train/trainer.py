@@ -109,7 +109,7 @@ class Trainer:
         n_model=1,
         feat_dtype=None,
         device_cache=False,
-        train_window=8,
+        train_window=1,
     ):
         self.checkpoint_every = checkpoint_every
         self.print_every = print_every
@@ -168,8 +168,10 @@ class Trainer:
         self.device_cache = bool(device_cache)
         # multi-step window executor: with the device cache active, run K
         # consecutive steps as one jitted lax.scan (see _build_window_step);
-        # 1 disables. Only effective on the device-cache path — elsewhere
-        # the per-step feature H2D dominates and windows buy nothing.
+        # 1 (the default) disables. Only effective on the device-cache path —
+        # elsewhere the per-step feature H2D dominates and windows buy
+        # nothing — and measured flat vs single-step on this tunnel
+        # (ROADMAP #20) while compiling ~3.7x slower, hence default-off.
         self.train_window = max(1, int(train_window))
         self._feat_caches: Dict = {}
         self._feat_cache = None

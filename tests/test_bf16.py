@@ -98,3 +98,23 @@ def test_bf16_greedy_eval_runs(setup):
     cfg, params, feats, lens, src, tgt = setup
     out = forward_eval(params, cfg, "ASR_ST", acous_feats=feats, acous_lens=lens)
     assert out["preds_st"].shape == (2, cfg.max_seq_len_tgt)
+
+
+def test_bf16_features_with_f32_params(setup):
+    """bf16-STAGED features on an f32 checkpoint (translate/train
+    --feat_dtype bfloat16 without --dtype bfloat16): the recurrences must
+    run in the promoted f32 compute dtype — a carry initialised from the
+    raw input dtype broke lax.scan's carry-type invariance (caught by the
+    round-4 TPU CLI drive). Predictions must match the all-f32 run exactly
+    (the first consumer is an MXU matmul that reads bf16 operands anyway)."""
+    cfg, _, feats, lens, src, tgt = setup
+    params32 = init_seq2seq(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    out_mixed = forward_eval(
+        params32, cfg, "ASR_ST",
+        acous_feats=feats.astype(jnp.bfloat16), acous_lens=lens)
+    out_f32 = forward_eval(
+        params32, cfg, "ASR_ST",
+        acous_feats=feats.astype(jnp.float32), acous_lens=lens)
+    assert out_mixed["logps_st"].dtype == jnp.float32
+    np.testing.assert_array_equal(np.asarray(out_mixed["preds_asr"]),
+                                  np.asarray(out_f32["preds_asr"]))

@@ -145,6 +145,7 @@ def load_arguments(parser):
         help='tensor-parallel degree of the (data, model) device mesh; '
              'the data axis gets the remaining devices')
     parser.add_argument('--feat_dtype', type=str, default='auto',
+        choices=['auto', 'float32', 'bfloat16', 'int8'],
         help='acoustic-feature staging dtype: auto (= follow --dtype) | '
              'float32 | bfloat16 | int8 (per-utterance scale, on-device '
              'dequant — 4x less host->device traffic than float32)')

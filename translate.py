@@ -53,6 +53,7 @@ def load_arguments(parser):
              'bfloat16 (~1.5x faster; the KV cache AND the staged acoustic '
              'features are bf16, so hypotheses may flip near-ties)')
     parser.add_argument('--feat_dtype', type=str, default='auto',
+        choices=['auto', 'float32', 'bfloat16', 'int8'],
         help='acoustic-feature staging dtype: auto (follows '
              '--beam_cache_dtype) | float32 | bfloat16 | int8. int8 stages '
              'per-utterance-quantized features and dequantizes on device — '
