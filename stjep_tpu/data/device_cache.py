@@ -35,6 +35,50 @@ import jax.numpy as jnp
 from stjep_tpu.ops.masks import bucket_length, round_up8
 
 
+def estimate_corpus_bytes(dataset, acous_bucket: int, feat_dtype) -> int:
+    """Bytes DeviceFeatureCache.build would allocate for `dataset` at
+    `feat_dtype`, WITHOUT loading any features: n x bucketed-T_max x D x
+    itemsize (+ per-row scales when int8). D is read from the first npy
+    header via mmap."""
+    flis = dataset.train_acous_flis
+    lens = dataset.train_acous_lengths
+    if not flis or not any(flis):
+        return 0
+    t_max = bucket_length(int(round_up8(max(lens))), acous_bucket)
+    probe = np.load(flis[0], mmap_mode="r")
+    d = probe.shape[1]
+    del probe
+    feat_dtype = np.dtype(feat_dtype)
+    n = len(flis)
+    nbytes = n * t_max * d * feat_dtype.itemsize
+    if feat_dtype == np.int8:
+        nbytes += n * 4  # f32 scales
+    return nbytes
+
+
+def hbm_cache_budget(fraction: float = 0.5) -> int:
+    """Free-HBM budget for a resident feature cache, in bytes.
+
+    memory_stats() when the backend reports it (bytes_limit - bytes_in_use,
+    scaled by `fraction` to leave room for params/activations/grads);
+    otherwise a conservative default (half of a 16 GB v5e). Override with
+    STJEP_CACHE_BUDGET_MB for odd deployments."""
+    import os
+
+    env = os.environ.get("STJEP_CACHE_BUDGET_MB")
+    if env:
+        return int(float(env) * 2 ** 20)
+    try:
+        stats = jax.devices()[0].memory_stats() or {}
+        limit = stats.get("bytes_limit")
+        in_use = stats.get("bytes_in_use", 0)
+        if limit:
+            return int(max(0, limit - in_use) * fraction)
+    except Exception:  # backend without memory_stats (e.g. axon tunnel)
+        pass
+    return int(8 * 2 ** 30)
+
+
 def quantize_batch(feats: np.ndarray, scale_dtype) -> Dict[str, np.ndarray]:
     """Per-utterance symmetric int8 quantization.
 

@@ -108,7 +108,7 @@ class Trainer:
         acous_bucket=256,
         n_model=1,
         feat_dtype=None,
-        device_cache=False,
+        device_cache="auto",
         train_window=1,
     ):
         self.checkpoint_every = checkpoint_every
@@ -164,8 +164,16 @@ class Trainer:
         # epoch-persistent on-device feature cache (data/device_cache.py):
         # upload the whole corpus once (int8 when feat_dtype is int8) and
         # assemble minibatches inside the step with a gather — steady-state
-        # feature H2D drops to the row indices.
-        self.device_cache = bool(device_cache)
+        # feature H2D drops to the row indices. "auto" (default) enables it
+        # when the estimated corpus footprint fits the free-HBM budget
+        # (measured 2.9x e2e win when it does, ROADMAP #18); True forces,
+        # False disables. Both auto and True fall back to per-step staging
+        # if the upload itself fails.
+        if isinstance(device_cache, str):
+            dc = device_cache.strip().lower()
+            assert dc in ("auto", "true", "false"), device_cache
+            device_cache = "auto" if dc == "auto" else dc == "true"
+        self.device_cache = device_cache
         # multi-step window executor: with the device cache active, run K
         # consecutive steps as one jitted lax.scan (see _build_window_step);
         # 1 (the default) disables. Only effective on the device-cache path —
@@ -401,6 +409,39 @@ class Trainer:
 
         sh = opt_state_shardings(self._tx, params, self._mesh)
         return jax.tree_util.tree_map(jax.device_put, opt_state, sh)
+
+    def _resolve_device_cache(self, train_set, log) -> bool:
+        """Decide whether this dataset's features live device-resident.
+
+        False -> never; True -> always (user forced it); "auto" (default)
+        -> enable iff the estimated cache footprint fits the free-HBM
+        budget (data/device_cache.estimate_corpus_bytes / hbm_cache_budget).
+        The decision is logged loudly either way so a user can tell which
+        staging mode a run actually used."""
+        has_acous = (bool(getattr(train_set, "train_acous_flis", []))
+                     and any(train_set.train_acous_flis))
+        if not has_acous or self.device_cache is False:
+            return False
+        if self.device_cache is True:
+            return True
+        key = ("auto", id(train_set))
+        if key in self._feat_caches:
+            return self._feat_caches[key]
+        from stjep_tpu.data.device_cache import (estimate_corpus_bytes,
+                                                 hbm_cache_budget)
+
+        need = estimate_corpus_bytes(train_set, self.acous_bucket,
+                                     self.feat_dtype or np.float32)
+        budget = hbm_cache_budget()
+        fits = 0 < need <= budget
+        log.info(
+            "device cache AUTO: corpus needs %.1f MB, HBM budget %.1f MB "
+            "-> %s (override with --device_cache True/False)",
+            need / 2 ** 20, budget / 2 ** 20,
+            "ENABLED (features stay device-resident across epochs)"
+            if fits else "DISABLED (per-step feature staging)")
+        self._feat_caches[key] = fits  # decide once per dataset
+        return fits
 
     def _host_macro(self, item):
         """Host half of batch staging: pad/reshape the macro batch, resolve
@@ -770,19 +811,27 @@ class Trainer:
 
             from stjep_tpu.data.loader import host_prefetch
 
-            use_cache = (self.device_cache
-                         and bool(getattr(train_set, "train_acous_flis", []))
-                         and any(train_set.train_acous_flis))
+            use_cache = self._resolve_device_cache(train_set, log)
             if use_cache and id(train_set) not in self._feat_caches:
                 from stjep_tpu.data.device_cache import DeviceFeatureCache
 
-                self._feat_caches[id(train_set)] = DeviceFeatureCache.build(
-                    train_set, self.acous_bucket,
-                    self.feat_dtype or np.float32,
-                    dequant_dtype=self._feat_dequant, mesh=self._mesh,
-                    logger=log)
+                try:
+                    self._feat_caches[id(train_set)] = (
+                        DeviceFeatureCache.build(
+                            train_set, self.acous_bucket,
+                            self.feat_dtype or np.float32,
+                            dequant_dtype=self._feat_dequant,
+                            mesh=self._mesh, logger=log))
+                except (RuntimeError, MemoryError) as e:
+                    # upload failed (HBM pressure the estimate missed):
+                    # fall back to per-step staging rather than crash
+                    log.warning(
+                        "device cache: upload FAILED (%s) — falling back "
+                        "to per-step feature staging", e)
+                    self._feat_caches[id(train_set)] = None
             self._feat_cache = (
-                self._feat_caches[id(train_set)] if use_cache else None)
+                self._feat_caches.get(id(train_set)) if use_cache else None)
+            use_cache = self._feat_cache is not None
 
             # staging (pad + device_put / shard) runs INSIDE the prefetch
             # thread: host I/O and the H2D transfer both overlap compute.

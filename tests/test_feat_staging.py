@@ -142,7 +142,8 @@ def test_int8_staged_training_runs(corpus, tmp_path):
 def test_device_cache_matches_direct_staging(corpus, tmp_path):
     cfg = _cfg(corpus)
     outs = {}
-    for name, kw in (("direct", {}), ("cached", {"device_cache": True})):
+    for name, kw in (("direct", {"device_cache": False}),
+                     ("cached", {"device_cache": True})):
         ds = _dataset(corpus)  # fresh dataset: identical shuffle stream
         params = init_seq2seq(jax.random.PRNGKey(0), cfg)
         t = _trainer(tmp_path, name, **kw)
@@ -191,3 +192,57 @@ def test_cache_rows_roundtrip(corpus):
                            lengths=[int(item["acouslen"][0])])
     got = np.asarray(cache.feats)[rows[0], : direct.shape[1]]
     np.testing.assert_allclose(got, direct[0], rtol=1e-6, atol=1e-6)
+
+
+def test_auto_cache_estimate_matches_build(corpus):
+    """The auto heuristic's size estimate equals what build() actually
+    allocates (f32 and int8), without loading any features."""
+    from stjep_tpu.data.device_cache import estimate_corpus_bytes
+
+    ds = _dataset(corpus)
+    for dt in (np.float32, np.int8):
+        need = estimate_corpus_bytes(ds, 256, dt)
+        cache = DeviceFeatureCache.build(ds, acous_bucket=256, feat_dtype=dt)
+        assert need == cache.nbytes, dt
+
+
+def test_auto_cache_budget_env_override(monkeypatch):
+    from stjep_tpu.data.device_cache import hbm_cache_budget
+
+    monkeypatch.setenv("STJEP_CACHE_BUDGET_MB", "3")
+    assert hbm_cache_budget() == 3 * 2 ** 20
+    monkeypatch.delenv("STJEP_CACHE_BUDGET_MB")
+    assert hbm_cache_budget() > 0
+
+
+def test_auto_cache_enables_when_fits(corpus, tmp_path, monkeypatch):
+    """device_cache='auto' (the default) + a corpus inside the budget ->
+    the cache is built (replicated across the active 8-device virtual
+    mesh) and training runs through the gather path."""
+    monkeypatch.setenv("STJEP_CACHE_BUDGET_MB", "10000")
+    ds = _dataset(corpus)
+    cfg = _cfg(corpus)
+    params = init_seq2seq(jax.random.PRNGKey(0), cfg)
+    t = _trainer(tmp_path, "auto_fit")  # device_cache defaults to "auto"
+    assert t.device_cache == "auto"
+    t.train({"st": ds}, (cfg, params), num_epochs=1)
+    built = [v for v in t._feat_caches.values()
+             if isinstance(v, DeviceFeatureCache)]
+    assert built and t._feat_cache is not None
+    for v in t._last_losses().values():
+        assert np.isfinite(float(v))
+
+
+def test_auto_cache_disables_when_too_big(corpus, tmp_path, monkeypatch):
+    """Zero budget -> auto decides per-step staging; training still runs."""
+    monkeypatch.setenv("STJEP_CACHE_BUDGET_MB", "0")
+    ds = _dataset(corpus)
+    cfg = _cfg(corpus)
+    params = init_seq2seq(jax.random.PRNGKey(0), cfg)
+    t = _trainer(tmp_path, "auto_nofit", device_cache="auto")
+    t.train({"st": ds}, (cfg, params), num_epochs=1)
+    assert not any(isinstance(v, DeviceFeatureCache)
+                   for v in t._feat_caches.values())
+    assert t._feat_cache is None
+    for v in t._last_losses().values():
+        assert np.isfinite(float(v))

@@ -149,12 +149,14 @@ def load_arguments(parser):
         help='acoustic-feature staging dtype: auto (= follow --dtype) | '
              'float32 | bfloat16 | int8 (per-utterance scale, on-device '
              'dequant — 4x less host->device traffic than float32)')
-    parser.add_argument('--device_cache', type=str, default='False',
+    parser.add_argument('--device_cache', type=str, default='auto',
         help='keep the whole corpus of acoustic features resident on '
              'device (at --feat_dtype precision) and gather minibatches '
              'on-device: per-epoch feature H2D and np.load/CMVN drop to '
              'zero after epoch 1; needs the corpus to fit in HBM '
-             '(a 400h fbank corpus is ~6 GB at int8)')
+             '(a 400h fbank corpus is ~6 GB at int8). auto (default) '
+             'enables it when the estimated footprint fits the free-HBM '
+             'budget and logs the decision; True forces, False disables')
     parser.add_argument('--train_window', type=int, default=1,
         help='multi-step executor: with --device_cache, run up to K '
              'consecutive train steps as ONE jitted program (lax.scan over '
@@ -320,7 +322,9 @@ def main():
             if config.get('feat_dtype', 'auto') in ('auto', None)
             else (None if config['feat_dtype'] == 'float32'
                   else config['feat_dtype'])),
-        device_cache=bool(config.get('device_cache')),
+        # 'auto' survives validate_config's string-bool normalisation;
+        # True/False arrive as real bools (Trainer accepts all three)
+        device_cache=config.get('device_cache', 'auto'),
         train_window=int(config.get('train_window', 1) or 1),
     )
 
