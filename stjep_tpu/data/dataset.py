@@ -126,6 +126,13 @@ class Dataset:
         self.max_seq_len_tgt = max_seq_len_tgt
         self.batch_size = batch_size
         self.seqrev = seqrev
+        # fail fast with a clear message instead of the reference's mid-
+        # training TypeError from join(None, spkid) (ref: dataset.py:139-146)
+        if acous_norm and acous_path is not None and acous_norm_path is None:
+            raise ValueError(
+                "acous_norm is enabled but no acoustic-norm path was given "
+                "— pass the CMVN stats dir (--{st,asr_train,asr_dev,test}_"
+                "acous_norm_path) or disable --las_acous_norm")
         self.acous_norm = acous_norm
         self.acous_max_len = acous_max_len
         self.use_type = use_type

@@ -183,3 +183,18 @@ def test_load_pretrained_embedding_matches_reference(tmp_path):
     np.testing.assert_array_equal(mine[6], [7.0, 7.0, 7.0, 7.0])
     np.testing.assert_array_equal(mine[7], init[7])
     np.testing.assert_array_equal(mine[8], init[8])
+
+
+def test_acous_norm_without_path_fails_fast(corpus):
+    """acous_norm=True + acoustics + no CMVN dir must fail at construction
+    with a clear message, not as the reference's mid-training TypeError
+    from join(None, spkid) (ref: dataset.py:139-146)."""
+    with pytest.raises(ValueError, match="acous_norm"):
+        Dataset(
+            path_src=corpus["path_src"], path_tgt=corpus["path_tgt"],
+            path_vocab_src=corpus["path_vocab_src"],
+            path_vocab_tgt=corpus["path_vocab_tgt"],
+            acous_path=corpus["acous_path"], acous_norm=True,
+            max_seq_len_src=16, max_seq_len_tgt=64, batch_size=5,
+            use_type="char", mode="ST", seed=1,
+        )
