@@ -41,6 +41,7 @@ max of the observed cross-seed range and 0.05).
 import json
 import os
 import re
+import shutil
 import subprocess
 import sys
 import time
@@ -228,9 +229,31 @@ def peak_dev(traj):
     return out
 
 
+def _arm_cached(arm):
+    """Per-arm resume: a finished arm leaves result.json; an unfinished one
+    is wiped so stale checkpoints can't shadow the rerun."""
+    res = os.path.join(arm, "result.json")
+    if os.path.exists(res):
+        with open(res) as f:
+            return json.load(f)
+    if os.path.isdir(arm):
+        shutil.rmtree(arm)
+    return None
+
+
+def _arm_done(arm, result):
+    with open(os.path.join(arm, "result.json"), "w") as f:
+        json.dump(result, f)
+    return result
+
+
 def run_jax_arm(work, data, e_asr, e_joint, seed):
     py = sys.executable
     arm = f"{work}/jax_s{seed}"
+    cached = _arm_cached(arm)
+    if cached is not None:
+        print(f"  (cached: {arm}/result.json)", flush=True)
+        return cached
     os.makedirs(arm, exist_ok=True)
     env = cpu_env()
     C = common_flags(data) + ["--random_seed", str(seed)]
@@ -255,18 +278,22 @@ def run_jax_arm(work, data, e_asr, e_joint, seed):
         "asr_stage": parse_jax_scalars(f"{arm}/asr"),
         "joint_stage": parse_jax_scalars(f"{arm}/asr_st"),
     }
-    return {
+    return _arm_done(arm, {
         "seed": seed,
         "wall_s": {"asr": round(t1, 1), "joint": round(t2, 1)},
         "best_dev_joint": peak_dev(traj["joint_stage"]),
         "trajectory": traj,
         **final_metrics(work, data, f"jax_s{seed}"),
-    }
+    })
 
 
 def run_torch_arm(work, data, e_asr, e_joint, seed):
     py = sys.executable
     arm = f"{work}/torch_s{seed}"
+    cached = _arm_cached(arm)
+    if cached is not None:
+        print(f"  (cached: {arm}/result.json)", flush=True)
+        return cached
     scratch = f"{arm}/scratch"
     os.makedirs(arm, exist_ok=True)
     wrap = [py, os.path.join(ROOT, "scripts", "run_reference_cli.py"),
@@ -289,13 +316,13 @@ def run_torch_arm(work, data, e_asr, e_joint, seed):
         "asr_stage": parse_ref_log(f"{arm}/log.asr"),
         "joint_stage": parse_ref_log(f"{arm}/log.joint"),
     }
-    return {
+    return _arm_done(arm, {
         "seed": seed,
         "wall_s": {"asr": round(t1, 1), "joint": round(t2, 1)},
         "best_dev_joint": peak_dev(traj["joint_stage"]),
         "trajectory": traj,
         **final_metrics(work, data, f"torch_s{seed}"),
-    }
+    })
 
 
 def summarize(runs):

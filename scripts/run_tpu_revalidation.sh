@@ -16,9 +16,12 @@ print('probe:', float(jnp.sum(jnp.ones((8,8)))), jax.devices())
 " 2>&1 | tail -1
 
 echo "[2/4] kernel parity (check_flash_tpu -> benchmarks/flash_tpu.json)"
-# writes the committed on-hardware parity artifact (beam + greedy token
-# identity, fused-LAS fwd/grad deviations); exits non-zero on token drift
-python /root/repo/scripts/check_flash_tpu.py 2>&1 | tail -20
+# writes the committed on-hardware parity artifact: staged margin-based
+# checks (tf greedy/beam rescored vs an independent HIGHEST-precision
+# scorer, LAS greedy margins, fused-LAS grad deviations) — token identity
+# on-chip is unattainable even XLA-vs-XLA (see the recorded control);
+# exits non-zero when a margin/deviation threshold trips
+python /root/repo/scripts/check_flash_tpu.py 2>&1 | tail -30
 
 echo "[3/4] bench"
 python /root/repo/bench.py 2>&1 | tail -1 | tee /tmp/reval_bench.log
