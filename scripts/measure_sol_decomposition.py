@@ -194,8 +194,9 @@ dec_tgt_out = jax.jit(lambda p: tf_decoder_forward(
 
 
 def st_head_loss(p_out):
+    # out_tgt is bias-free (ref: Seq2seq.py:180)
     lp = jax.nn.log_softmax(
-        (dec_tgt_out @ p_out["w"] + p_out["b"]).astype(jnp.float32), axis=-1)
+        (dec_tgt_out @ p_out["w"]).astype(jnp.float32), axis=-1)
     l, n = nll_loss_with_mask(lp[:, :-1, :], tgt[:, 1:])
     return l / jnp.maximum(n, 1.0)
 
