@@ -1,0 +1,208 @@
+"""Single-request (B=1) ST serving-latency decomposition (VERDICT r3 #6).
+
+bench.py's serving_latency_b1_ms is a BLOCKING forward_translate(ST, beam 5)
+call at B=1 — on axon that includes the ~28 ms tunnel round trip. This
+script records where the device-side time goes, one stage per row:
+
+  pyramid        LAS pyramidal BiLSTM encode (frames -> frames/8)
+  las_greedy     fused free-running LAS decode, max_src-1 steps
+                 (fixed grid: a Pallas kernel cannot early-exit, so B=1
+                 always pays all steps; the while_loop beam below exits
+                 on all-EOS, which random-init weights never trigger)
+  tf_encoder     static+dynamic emb projection + 6-layer TF encoder
+  tf_beam        fused beam-5 decode, up to decode_len steps
+  full_pipeline  forward_translate(ST) end to end (the bench surface)
+
+Timing: pipelined 5-call windows drained once with a device-side scalar
+readback, median of repeats (the bench protocol), over CUMULATIVE
+single-program prefixes of the pipeline (pyramid; +greedy; +encoder;
+full) — stage rows are telescoping deltas, so the ~2 ms per-jitted-call
+dispatch floor (ROADMAP #14) cancels and stages sum to the full pipeline
+by construction. The blocking single call is recorded separately with
+its RTT share.
+
+Floors: the tf_beam stage re-reads the decoder weights from HBM every
+step (one pallas launch per layer-step), so its floor is
+steps * decoder_weight_bytes / HBM_BW. The las_greedy kernel holds its
+weights VMEM-resident (ops/las_flash.py) — its floor is the documented
+per-step MXU occupancy of the [Hs, 30k] head (~25-45 us/step).
+
+Usage:
+  PYTHONPATH=/root/repo:/root/.axon_site \
+    python scripts/measure_serving_latency.py
+Writes benchmarks/serving_latency_b1.json.
+"""
+
+import json
+import os
+import sys
+import time
+from functools import partial
+
+import numpy as np
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+import jax.numpy as jnp
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+from bench import BENCH
+from stjep_tpu.config import BOS, ModelConfig
+from stjep_tpu.infer.beam import beam_search
+from stjep_tpu.infer.forward import forward_translate
+from stjep_tpu.models.seq2seq import (_encoder_acous, _get_src_emb,
+                                      _length_src_mask, _pre_proc_src,
+                                      init_seq2seq)
+from stjep_tpu.models.las_encoder import las_encoder_forward
+from stjep_tpu.models.tf_encoder import tf_encoder_forward
+
+HBM_BW = 819e9
+
+b = BENCH
+cfg = ModelConfig(
+    enc_vocab_size=b["enc_vocab"], dec_vocab_size=b["dec_vocab"],
+    enc_embedding_size=200, dec_embedding_size=b["dim_model"],
+    acous_dim=b["acous_dim"], acous_hidden_size=b["acous_hidden"],
+    dim_model=b["dim_model"], dim_feedforward=b["dim_ff"],
+    num_heads=b["heads"], enc_layers=b["layers"], dec_layers=b["layers"],
+    num_unilstm_dec=3, spec_aug=True, dropout=0.2,
+    max_seq_len_src=b["max_src"], max_seq_len_tgt=b["decode_len"],
+    mode="ASR_ST",
+)
+params = init_seq2seq(jax.random.PRNGKey(0), cfg)
+rng = np.random.RandomState(0)
+T = b["frames"]
+feats = jnp.asarray(rng.randn(1, T, b["acous_dim"]).astype(np.float32))
+lens = jnp.asarray(np.array([T - 8], np.int32))
+
+
+def timeit_ms(fn, *args, win=5, repeats=6, drain=None):
+    if drain is None:
+        def drain(out):
+            # device-side scalar index: readback transfers ONE element, not
+            # the whole tensor (the tunnel moves ~35 MB/s — a full-leaf
+            # np.asarray would dominate the stage being measured)
+            leaf = jax.tree_util.tree_leaves(out)[0]
+            return float(np.asarray(leaf[(0,) * leaf.ndim]))
+    for _ in range(2):
+        drain(fn(*args))
+    med = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        for _ in range(win):
+            out = fn(*args)
+        drain(out)
+        med.append((time.perf_counter() - t0) / win * 1000)
+    return float(np.median(med))
+
+
+stages = {}
+
+# Cumulative single-program prefixes of the production ST pipeline: every
+# probe is ONE jitted program including everything up to its stage, so
+# stage costs are DELTAS in which the per-call dispatch floor and any
+# parameter-layout differences cancel. (Standalone per-stage probes were
+# tried first and mis-measure: a lone beam program over enc_out inputs
+# ran ~10 ms slower than the same beam inside the full program.)
+from stjep_tpu.infer.forward import _encode_for_mode
+
+# prefix 1: pyramid only
+pyr = jax.jit(lambda p, f, l: las_encoder_forward(
+    p, cfg, f, acous_lens=l, is_training=False))
+ms_pyr = timeit_ms(pyr, params["las"]["encoder"], feats, lens)
+
+# prefix 2: pyramid + fused free-running greedy (the full LAS stage)
+las_full = jax.jit(lambda p, f, l: _encoder_acous(
+    p, cfg, f, l, tgt=None, is_training=False, teacher_forcing=False,
+    max_seq_len=cfg.max_seq_len_src, want_logps=False, flash_ok=True))
+ms_las = timeit_ms(
+    las_full, params, feats, lens,
+    drain=lambda out: int(np.asarray(out[2][0, 0])))
+
+# prefix 3: + static-emb lookup + projection + TF encoder (the exact
+# production memory builder)
+enc_j = jax.jit(lambda p, f, l: _encode_for_mode(
+    p, cfg, "ST", None, f, l, None, False))
+ms_enc = timeit_ms(
+    enc_j, params, feats, lens,
+    drain=lambda out: float(np.asarray(out[0][0, 0, 0])))
+
+# prefix 4 (full): + fused beam-5 decode (bench's serving surface)
+dec1 = jax.jit(partial(
+    forward_translate, cfg=cfg, mode="ST", beam_width=b["beam"],
+    penalty_factor=1.0, max_seq_len=b["decode_len"],
+    cache_dtype=jnp.bfloat16,
+))
+full_ms = timeit_ms(lambda p: dec1(p, acous_feats=feats, acous_lens=lens),
+                    params)
+
+las_steps = b["max_src"] - 1
+beam_steps = b["decode_len"] - 1
+dec_weight_bytes = sum(
+    np.asarray(x).nbytes
+    for x in jax.tree_util.tree_leaves(params["dec_tgt"])) + sum(
+    np.asarray(x).nbytes
+    for x in jax.tree_util.tree_leaves(params["out_tgt"]))
+step_floor_us = dec_weight_bytes / HBM_BW * 1e6
+
+stages["pyramid"] = {"ms": round(ms_pyr, 2)}
+stages["las_greedy"] = {
+    "ms": round(ms_las - ms_pyr, 2),
+    "steps": las_steps,
+    "us_per_step": round((ms_las - ms_pyr) / las_steps * 1000, 1),
+    "floor_note": "kernel weights VMEM-resident (ops/las_flash.py); the "
+                  "per-step cost is the dependent LSTM+attention+head "
+                  "chain, flat in batch up to ~128 rows",
+}
+stages["tf_encoder"] = {"ms": round(ms_enc - ms_las, 2)}
+stages["tf_beam"] = {
+    "ms": round(full_ms - ms_enc, 2),
+    "steps": beam_steps,
+    "us_per_step": round((full_ms - ms_enc) / beam_steps * 1000, 1),
+    "floor_us_per_step_weight_stream": round(step_floor_us, 1),
+    "floor_ms": round(step_floor_us * beam_steps / 1000, 2),
+    "floor_note": "decoder+head weights re-read from HBM each step (one "
+                  "pallas launch per layer-step); random-init weights "
+                  "never all-EOS so the while_loop runs every step — "
+                  "trained models exit early",
+}
+
+# blocking single call (the bench serving_latency_b1_ms surface)
+for _ in range(2):
+    _ = int(np.asarray(dec1(params, acous_feats=feats,
+                            acous_lens=lens))[0, 1])
+lat = []
+for _ in range(20):
+    t0 = time.perf_counter()
+    out = dec1(params, acous_feats=feats, acous_lens=lens)
+    _ = int(np.asarray(out)[0, 1])
+    lat.append((time.perf_counter() - t0) * 1000)
+blocking_ms = float(np.median(lat))
+
+# cumulative-prefix protocol: stage deltas sum to the full pipeline by
+# construction (telescoping), so no separate glue row exists
+result = {
+    "platform": str(jax.devices()[0]),
+    "backend": jax.default_backend(),
+    "config": {k: b[k] for k in ("frames", "max_src", "decode_len", "beam")},
+    "blocking_call_ms": round(blocking_ms, 1),
+    "pipelined_full_ms": round(full_ms, 1),
+    "tunnel_share_ms": round(blocking_ms - full_ms, 1),
+    "stages": stages,
+    "protocol": "pipelined 5-call windows, median of 6, over CUMULATIVE "
+                "single-program prefixes of the production pipeline; "
+                "stage rows are telescoping deltas, so per-call dispatch "
+                "cancels and the stages sum to pipelined_full_ms by "
+                "construction",
+}
+print(json.dumps(result, indent=2))
+path = os.path.join(ROOT, "benchmarks", "serving_latency_b1.json")
+with open(path, "w") as f:
+    json.dump(result, f, indent=2)
+print("wrote", path)
