@@ -331,6 +331,7 @@ def test_translate_cli_mode4_projector_dump(trained, tmp_path):
     assert "projector_config.pbtxt" in names, names
 
 
+@pytest.mark.slow  # heavy integration: slow lane
 def test_train_cli_embedding_overlay_shared(corpus, tmp_path):
     """Pretrained-embedding overlay wiring (train.py) with share_embedder:
     the reference rebinds enc_embedder = dec_embedder AFTER both overlays

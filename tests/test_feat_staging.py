@@ -90,6 +90,8 @@ def test_quantize_scale_dtype_is_dequant_dtype():
     assert str(deq.dtype) == "bfloat16"
 
 
+@pytest.mark.slow  # 17 s end-to-end numerical check; the int8 plumbing
+# stays covered in-lane by quantize/dequantize unit tests + auto-cache
 def test_int8_staged_loss_matches_f32(corpus, tmp_path):
     """One step from IDENTICAL params: the int8-staged loss sits within
     quantization noise of the float32-staged loss (updates are not applied
@@ -161,6 +163,7 @@ def test_device_cache_matches_direct_staging(corpus, tmp_path):
             rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow  # heavy integration: slow lane
 def test_device_cache_int8(corpus, tmp_path):
     """Cache + int8 compose: rows stored int8 with per-utterance scales,
     training runs to finite losses under the (virtual) mesh."""

@@ -64,7 +64,12 @@ def _trainer(tmp_path, name, **kw):
     )
 
 
-@pytest.mark.parametrize("dropout", [0.0, 0.2])
+@pytest.mark.parametrize(
+    "dropout",
+    [0.0,
+     # RNG-sequence arm: slow lane (the window executor is default-off;
+     # the dropout=0.0 arm keeps the core equality in the default lane)
+     pytest.param(0.2, marks=pytest.mark.slow)])
 def test_window_matches_single_step(corpus, tmp_path, dropout):
     """2 epochs x 4 steps with train_window=4 == the single-step path,
     leaf-for-leaf. Covers the RNG sequence (dropout=0.2 arm), per-step LR,
@@ -87,6 +92,8 @@ def test_window_matches_single_step(corpus, tmp_path, dropout):
             rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow  # window executor is default-off; covered by the
+# default-lane dropout=0.0 equality arm
 def test_window_program_equals_four_single_steps(corpus, tmp_path):
     """Direct unit test of _build_window_step: the same 4 batches through
     4 single-step calls == one 4-window call (params, opt moments) and the
