@@ -173,6 +173,38 @@ stages["tf_beam"] = {
                   "trained models exit early",
 }
 
+# int8 weight-streaming arm (--weight_dtype int8): same full pipeline,
+# quantized decoder weights streamed by the fused beam kernels — the
+# ONLY line of attack on the weight-stream floor above is shrinking the
+# bytes (per-output-channel symmetric int8, ops/decode_flash.py)
+dec1_q = jax.jit(partial(
+    forward_translate, cfg=cfg, mode="ST", beam_width=b["beam"],
+    penalty_factor=1.0, max_seq_len=b["decode_len"],
+    cache_dtype=jnp.bfloat16, weight_dtype="int8",
+))
+full_q_ms = timeit_ms(lambda p: dec1_q(p, acous_feats=feats,
+                                       acous_lens=lens), params)
+from stjep_tpu.ops.decode_flash import QUANT_CROSS, QUANT_FFN, QUANT_SELF
+
+q_bytes = 0
+for lp in params["dec_tgt"]["layers"]:
+    for sub, keys in (("decslf_attn", QUANT_SELF),
+                      ("encdec_attn", QUANT_CROSS),
+                      ("pos_ffn", QUANT_FFN)):
+        for k in keys:
+            q_bytes += np.asarray(lp[sub][k]["w"]).nbytes
+q_floor_us = ((dec_weight_bytes - q_bytes) + q_bytes // 4) / HBM_BW * 1e6
+stages["tf_beam_int8w"] = {
+    "ms": round(full_q_ms - ms_enc, 2),
+    "steps": beam_steps,
+    "us_per_step": round((full_q_ms - ms_enc) / beam_steps * 1000, 1),
+    "floor_us_per_step_weight_stream": round(q_floor_us, 1),
+    "floor_ms": round(q_floor_us * beam_steps / 1000, 2),
+    "floor_note": "per-step-streamed decoder matrices quantized int8 "
+                  "(4x fewer bytes); LNs/biases/head stay f32. Exactness "
+                  "on the int8 grid pinned by tests/test_decode_flash.py",
+}
+
 # blocking single call (the bench serving_latency_b1_ms surface)
 for _ in range(2):
     _ = int(np.asarray(dec1(params, acous_feats=feats,
@@ -193,6 +225,7 @@ result = {
     "config": {k: b[k] for k in ("frames", "max_src", "decode_len", "beam")},
     "blocking_call_ms": round(blocking_ms, 1),
     "pipelined_full_ms": round(full_ms, 1),
+    "pipelined_full_int8w_ms": round(full_q_ms, 1),
     "tunnel_share_ms": round(blocking_ms - full_ms, 1),
     "stages": stages,
     "protocol": "pipelined 5-call windows, median of 6, over CUMULATIVE "

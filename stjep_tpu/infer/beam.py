@@ -74,21 +74,29 @@ def beam_search(
     max_seq_len: int,
     cache_dtype=None,
     use_flash: Optional[bool] = None,
+    weight_dtype=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Returns (preds [B, max_seq_len] best-beam tokens BOS-first PAD-padded,
     scores [B]). use_flash=None auto-selects the fused Pallas kernels on
     TPU and the dense XLA path elsewhere (STJEP_FORCE_FLASH=1 forces the
-    kernels in interpret mode on CPU, used by the oracle parity suite)."""
+    kernels in interpret mode on CPU, used by the oracle parity suite).
+    weight_dtype='int8' streams quantized decoder weights in the flash
+    path (serving-latency mode; see ops/decode_flash.py) — it requires the
+    fused kernels and raises otherwise."""
     if use_flash is None:
         from stjep_tpu.parallel.spmd import decode_flash_auto
 
         use_flash = decode_flash_auto(cfg)
+    if weight_dtype in ("int8", jnp.int8) and not use_flash:
+        raise ValueError(
+            "weight_dtype='int8' needs the fused decode kernels "
+            "(dim_model %% 128 == 0 and flash not disabled)")
     if use_flash:
         from stjep_tpu.parallel.spmd import beam_search_flash_dp
 
         return beam_search_flash_dp(
             params, cfg, enc_outputs, mem_mask_b, beam_width, penalty_factor,
-            max_seq_len, cache_dtype=cache_dtype)
+            max_seq_len, cache_dtype=cache_dtype, weight_dtype=weight_dtype)
     B = enc_outputs.shape[0]
     K = beam_width
     BK = B * K
@@ -219,6 +227,7 @@ def _beam_search_flash(
     max_seq_len: int,
     cache_dtype=None,
     tp_axis: Optional[str] = None,
+    weight_dtype=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Beam search over the fused Pallas decode kernels.
 
@@ -234,6 +243,17 @@ def _beam_search_flash(
     shard, so selection/EOS control flow stays in lockstep."""
     from stjep_tpu.models.seq2seq import _embed_tgt_token
     from stjep_tpu.ops.decode_flash import BLOCK, CROSS_BLOCK, pad_len
+
+    if weight_dtype in ("int8", jnp.int8):
+        # serving-latency mode: quantize the per-step-streamed decoder
+        # weights once (outside the while_loop), quartering the dominant
+        # weight HBM traffic at small batches. Beams are no longer
+        # guaranteed line-identical to the f32 oracle — opt-in only.
+        assert tp_axis is None, "int8 weight streaming: TP meshes keep f32"
+        from stjep_tpu.ops.decode_flash import quantize_decoder_weights
+
+        params = dict(params)
+        params["dec_tgt"] = quantize_decoder_weights(params["dec_tgt"])
 
     B, Lk, _ = enc_outputs.shape
     K = beam_width

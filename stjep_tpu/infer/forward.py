@@ -99,6 +99,7 @@ def forward_translate(
     refen: bool = False,
     lm_fuse=None,
     cache_dtype=None,
+    weight_dtype=None,
 ) -> jnp.ndarray:
     """Beam-search inference (ref: Seq2seq.py:641-796). Returns preds ids.
 
@@ -139,6 +140,7 @@ def forward_translate(
             preds, _ = beam_search(
                 params, cfg, enc_out, mem_mask_b, 1, penalty_factor,
                 max_seq_len, cache_dtype=cache_dtype,
+                weight_dtype=weight_dtype,
             )
             return preds
         from stjep_tpu.models.seq2seq import _greedy_decode
@@ -150,7 +152,7 @@ def forward_translate(
         return preds
     preds, scores = beam_search(
         params, cfg, enc_out, mem_mask_b, beam_width, penalty_factor,
-        max_seq_len, cache_dtype=cache_dtype,
+        max_seq_len, cache_dtype=cache_dtype, weight_dtype=weight_dtype,
     )
     return preds
 

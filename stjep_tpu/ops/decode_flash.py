@@ -611,6 +611,98 @@ def ffn_step(params: Dict, x_new: jnp.ndarray,
     return y[:, None, :]
 
 
+# ---------------------------------------------------------------------------
+# int8 weight streaming (serving-latency mode)
+# ---------------------------------------------------------------------------
+#
+# At small serving batches the fused layer-step launches are HBM-bound on
+# the WEIGHTS they re-read every decode step (benchmarks/
+# serving_latency_b1.json: 69% of B=1 beam latency, ~92.8 us/step at the
+# streamed dtype). Quantizing the eight streamed matrices per layer
+# (self q/k/v/o, cross q/o, FFN w1/w2) to per-output-channel symmetric int8
+# quarters those bytes vs f32; the kernel dequantizes after the VMEM copy
+# (one [in, out] VPU multiply per matrix — negligible next to the DMA) and
+# all matmuls still accumulate f32. LayerNorms, biases, the cross K/V
+# projections (amortized once per utterance batch in
+# tf_decoder_init_cache_flash), and the decode head (V is char-sized)
+# stay full precision. Opt-in via --weight_dtype int8 (translate.py);
+# the default f32 path is untouched for oracle parity.
+
+
+def _q8_leaf(leaf: Dict) -> Dict:
+    """{"w": [in, out]} -> {"w": int8, "w_s": f32 [1, out]} (sym. per-col)."""
+    w = leaf["w"].astype(jnp.float32)
+    s = jnp.max(jnp.abs(w), axis=0, keepdims=True) / 127.0
+    s = jnp.where(s == 0.0, 1.0, s)
+    q = jnp.clip(jnp.round(w / s), -127.0, 127.0).astype(jnp.int8)
+    out = dict(leaf)
+    out["w"] = q
+    out["w_s"] = s
+    return out
+
+
+QUANT_SELF = ("w_qs", "w_ks", "w_vs", "fc")
+QUANT_CROSS = ("w_qs", "fc")
+QUANT_FFN = ("w_1", "w_2")
+
+
+def quantize_decoder_weights(dec_params: Dict) -> Dict:
+    """Quantize every per-step-streamed decoder weight to int8 + scales.
+
+    Returns a structurally-compatible copy of the `dec_tgt` subtree; leaves
+    not streamed by the layer-step kernel (LNs, biases, encdec K/V
+    projections, the final norm) are shared, not copied. The layer-step
+    wrapper detects the "w_s" key and dispatches the dequantizing kernel."""
+    out = dict(dec_params)
+    layers = []
+    for lp in dec_params["layers"]:
+        sa = dict(lp["decslf_attn"])
+        ca = dict(lp["encdec_attn"])
+        ff = dict(lp["pos_ffn"])
+        for k in QUANT_SELF:
+            sa[k] = _q8_leaf(sa[k])
+        for k in QUANT_CROSS:
+            ca[k] = _q8_leaf(ca[k])
+        for k in QUANT_FFN:
+            ff[k] = _q8_leaf(ff[k])
+        nl = dict(lp)
+        nl["decslf_attn"] = sa
+        nl["encdec_attn"] = ca
+        nl["pos_ffn"] = ff
+        layers.append(nl)
+    out["layers"] = layers
+    return out
+
+
+def _layer_kernel_q8(pos_ref, x_ref, anc_ref, maskk_ref, memmask_ref,
+                     slns_ref, slnb_ref, wq_ref, wqs_ref, wk_ref, wks_ref,
+                     wv_ref, wvs_ref, wo_ref, wos_ref,
+                     clns_ref, clnb_ref, cwq_ref, cwqs_ref, cwo_ref, cwos_ref,
+                     flns_ref, flnb_ref, w1_ref, w1s_ref, b1_ref,
+                     w2_ref, w2s_ref, b2_ref,
+                     ck_in, cv_in, mk_hbm, mv_hbm,
+                     y_ref, ck_out, cv_out,
+                     kbuf, vbuf, mkbuf, mvbuf,
+                     sem_self, sem_wr, sem_cross,
+                     *, n_head: int, group: int, bs: int, blk: int):
+    """decoder_layer_step_flash body with int8 weights: dequantize each
+    streamed matrix once after its VMEM copy, then run the shared cores
+    (which accept plain arrays — `arr[:]` is the array) unchanged."""
+    dq = lambda w, s: w[:].astype(jnp.float32) * s[:]
+    y = _self_core(
+        pos_ref[0], x_ref[:], anc_ref, maskk_ref,
+        slns_ref, slnb_ref, dq(wq_ref, wqs_ref), dq(wk_ref, wks_ref),
+        dq(wv_ref, wvs_ref), dq(wo_ref, wos_ref),
+        ck_out, cv_out, kbuf, vbuf,
+        sem_self, sem_wr, n_head, group, blk)
+    y = _cross_core(
+        y, memmask_ref, clns_ref, clnb_ref, dq(cwq_ref, cwqs_ref),
+        dq(cwo_ref, cwos_ref),
+        mk_hbm, mv_hbm, mkbuf, mvbuf, sem_cross, n_head, group, bs)
+    y_ref[:] = _ffn_core(y, flns_ref, flnb_ref, dq(w1_ref, w1s_ref), b1_ref,
+                         dq(w2_ref, w2s_ref), b2_ref)
+
+
 def _layer_kernel(pos_ref, x_ref, anc_ref, maskk_ref, memmask_ref,
                   slns_ref, slnb_ref, wq_ref, wk_ref, wv_ref, wo_ref,
                   clns_ref, clnb_ref, cwq_ref, cwo_ref,
@@ -673,34 +765,54 @@ def decoder_layer_step_flash(
     sa = params["decslf_attn"]
     ca = params["encdec_attn"]
     ff = params["pos_ffn"]
+    quant = "w_s" in sa["w_qs"]  # from quantize_decoder_weights
+    if quant:
+        wargs = (
+            sa["layer_norm"]["scale"], sa["layer_norm"]["bias"],
+            sa["w_qs"]["w"], sa["w_qs"]["w_s"], sa["w_ks"]["w"],
+            sa["w_ks"]["w_s"], sa["w_vs"]["w"], sa["w_vs"]["w_s"],
+            sa["fc"]["w"], sa["fc"]["w_s"],
+            ca["layer_norm"]["scale"], ca["layer_norm"]["bias"],
+            ca["w_qs"]["w"], ca["w_qs"]["w_s"], ca["fc"]["w"],
+            ca["fc"]["w_s"],
+            ff["layer_norm"]["scale"], ff["layer_norm"]["bias"],
+            ff["w_1"]["w"], ff["w_1"]["w_s"], ff["w_1"]["b"],
+            ff["w_2"]["w"], ff["w_2"]["w_s"], ff["w_2"]["b"],
+        )
+        kern = _layer_kernel_q8
+    else:
+        wargs = (
+            sa["layer_norm"]["scale"], sa["layer_norm"]["bias"],
+            sa["w_qs"]["w"], sa["w_ks"]["w"], sa["w_vs"]["w"], sa["fc"]["w"],
+            ca["layer_norm"]["scale"], ca["layer_norm"]["bias"],
+            ca["w_qs"]["w"], ca["fc"]["w"],
+            ff["layer_norm"]["scale"], ff["layer_norm"]["bias"],
+            ff["w_1"]["w"], ff["w_1"]["b"], ff["w_2"]["w"], ff["w_2"]["b"],
+        )
+        kern = _layer_kernel
     args = (
         jnp.asarray(pos, jnp.int32).reshape(1),
         x_new[:, 0, :].astype(f32),
         anc.astype(jnp.int32),
         self_mask_k.astype(jnp.int32),
         mem_mask.astype(jnp.int32),
-        sa["layer_norm"]["scale"], sa["layer_norm"]["bias"],
-        sa["w_qs"]["w"], sa["w_ks"]["w"], sa["w_vs"]["w"], sa["fc"]["w"],
-        ca["layer_norm"]["scale"], ca["layer_norm"]["bias"],
-        ca["w_qs"]["w"], ca["fc"]["w"],
-        ff["layer_norm"]["scale"], ff["layer_norm"]["bias"],
-        ff["w_1"]["w"], ff["w_1"]["b"], ff["w_2"]["w"], ff["w_2"]["b"],
-        cache_k, cache_v, mem_k, mem_v,
-    )
+    ) + wargs + (cache_k, cache_v, mem_k, mem_v)
     vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     hbm = (pl.ANY if jax.default_backend() == "cpu"
            else pltpu.MemorySpace.HBM)
     anyspace = lambda: pl.BlockSpec(memory_space=hbm)
+    n_w = len(wargs)
     in_specs = ([pl.BlockSpec(memory_space=pltpu.SMEM)]
-                + [vmem() for _ in range(20)]
+                + [vmem() for _ in range(4 + n_w)]
                 + [anyspace() for _ in range(4)])
     out_shape = (
         jax.ShapeDtypeStruct((BK, D), f32),
         jax.ShapeDtypeStruct((group, B, L, D), cdt),
         jax.ShapeDtypeStruct((group, B, L, D), cdt),
     )
+    ck_arg = 5 + n_w  # index of cache_k in args (aliased to output 1)
     y, ck, cv = pl.pallas_call(
-        functools.partial(_layer_kernel, n_head=n_head, group=group, bs=bs,
+        functools.partial(kern, n_head=n_head, group=group, bs=bs,
                           blk=blk),
         in_specs=in_specs,
         out_specs=(vmem(), anyspace(), anyspace()),
@@ -714,7 +826,7 @@ def decoder_layer_step_flash(
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2, 2)),
         ],
-        input_output_aliases={21: 1, 22: 2},
+        input_output_aliases={ck_arg: 1, ck_arg + 1: 2},
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
         interpret=jax.default_backend() == "cpu",
     )(*args)

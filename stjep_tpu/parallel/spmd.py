@@ -263,10 +263,13 @@ def greedy_decode_flash_tp(params, cfg, enc_outputs, mem_mask_b, length_out,
 
 
 def beam_search_flash_dp(params, cfg, enc_outputs, mem_mask_b, beam_width,
-                         penalty_factor, max_seq_len, cache_dtype=None):
+                         penalty_factor, max_seq_len, cache_dtype=None,
+                         weight_dtype=None):
     """Fused beam search, sharded on the utterance axis; meshes with a
     model axis delegate to the tensor-parallel form (see
-    greedy_decode_flash_dp)."""
+    greedy_decode_flash_dp). weight_dtype='int8' (serving-latency weight
+    streaming) applies per shard under pure-DP meshes; TP meshes keep f32
+    weights (the TP trio has no dequant path)."""
     from stjep_tpu.infer.beam import _beam_search_flash
 
     mesh = kernel_mesh()
@@ -277,12 +280,14 @@ def beam_search_flash_dp(params, cfg, enc_outputs, mem_mask_b, beam_width,
     if mesh is None or enc_outputs.shape[0] % _n_data(mesh) != 0:
         return _beam_search_flash(params, cfg, enc_outputs, mem_mask_b,
                                   beam_width, penalty_factor, max_seq_len,
-                                  cache_dtype=cache_dtype)
+                                  cache_dtype=cache_dtype,
+                                  weight_dtype=weight_dtype)
 
     def inner(p, enc, mm):
         return _beam_search_flash(p, cfg, enc, mm, beam_width,
                                   penalty_factor, max_seq_len,
-                                  cache_dtype=cache_dtype)
+                                  cache_dtype=cache_dtype,
+                                  weight_dtype=weight_dtype)
 
     mm_spec = P() if mem_mask_b is None else _b(2, 0)
     fn = _smap(inner, mesh,

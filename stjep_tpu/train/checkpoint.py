@@ -110,8 +110,13 @@ class Checkpoint:
     def save(self, experiment_dir: str) -> str:
         """Timestamped dir (ref: checkpoint.py:54-83); a microsecond suffix
         keeps names unique and lexicographically ordered."""
-        date_time = time.strftime("%Y_%m_%d_%H_%M_%S", time.localtime())
-        date_time += "_{:06d}".format(int((time.time() % 1) * 1e6))
+        # ONE clock read for both parts: a second strftime/time() pair can
+        # straddle a second rollover and emit old-second + new-microseconds,
+        # which sorts BEFORE the previous checkpoint and breaks
+        # get_latest_checkpoint / rollback ordering
+        now = time.time()
+        date_time = time.strftime("%Y_%m_%d_%H_%M_%S", time.localtime(now))
+        date_time += "_{:06d}".format(int((now % 1) * 1e6))
         return self._write(
             os.path.join(experiment_dir, CHECKPOINT_DIR_NAME, date_time)
         )

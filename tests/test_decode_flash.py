@@ -203,3 +203,119 @@ def test_flash_layer_step_small_blocks(monkeypatch):
         outs.append(jnp.concatenate(ys, axis=1))
     np.testing.assert_allclose(_np(outs[0]), _np(outs[1]), rtol=2e-5,
                                atol=2e-6)
+
+
+def _snap_leaf_to_int8_grid(rng, leaf, s=2.0**-9):
+    """Replace leaf["w"] with values EXACTLY representable under
+    quantize_decoder_weights: w = q * s with integer q in [-127, 127],
+    max |q| == 127 in every column (so the recomputed per-column scale is
+    exactly s, a power of two -> dequantization is bit-exact)."""
+    w = np.asarray(leaf["w"])
+    q = rng.randint(-127, 128, size=w.shape)
+    q[0, :] = 127  # pin the per-column max so scale recovers exactly s
+    out = dict(leaf)
+    out["w"] = jnp.asarray(q * s, jnp.float32)
+    return out
+
+
+def _snap_decoder_weights(params, rng):
+    from stjep_tpu.ops.decode_flash import (
+        QUANT_CROSS, QUANT_FFN, QUANT_SELF)
+
+    dec = dict(params["dec_tgt"])
+    layers = []
+    for lp in dec["layers"]:
+        nl = dict(lp)
+        for sub, keys in (("decslf_attn", QUANT_SELF),
+                          ("encdec_attn", QUANT_CROSS),
+                          ("pos_ffn", QUANT_FFN)):
+            d = dict(nl[sub])
+            for k in keys:
+                d[k] = _snap_leaf_to_int8_grid(rng, d[k])
+            nl[sub] = d
+        layers.append(nl)
+    dec["layers"] = layers
+    out = dict(params)
+    out["dec_tgt"] = dec
+    return out
+
+
+def test_int8_weight_streaming_exact_on_grid():
+    """weight_dtype='int8' must be TOKEN-IDENTICAL to the f32 flash path
+    when the decoder weights already sit on the int8 grid: quantization is
+    then lossless, so any deviation is a plumbing/kernel bug."""
+    from stjep_tpu.config import ModelConfig
+    from stjep_tpu.infer.beam import beam_search
+    from stjep_tpu.models.seq2seq import init_seq2seq
+
+    cfg = ModelConfig(
+        enc_vocab_size=50, dec_vocab_size=40,
+        enc_embedding_size=16, dec_embedding_size=16,
+        acous_dim=8, acous_hidden_size=8,
+        dim_model=16, dim_feedforward=32, num_heads=4,
+        enc_layers=2, dec_layers=2, num_unilstm_dec=1,
+        max_seq_len_src=12, max_seq_len_tgt=18, mode="MT",
+    )
+    params = init_seq2seq(jax.random.PRNGKey(4), cfg)
+    params = _snap_decoder_weights(params, np.random.RandomState(11))
+    rng = np.random.RandomState(6)
+    B, Lk = 2, 9
+    enc_out = jnp.asarray(0.3 * rng.randn(B, Lk, cfg.dim_model)
+                          .astype(np.float32))
+    mem_mask = np.ones((B, Lk), dtype=bool)
+    mem_mask[1, 7:] = False
+    mem_mask = jnp.asarray(mem_mask)
+
+    for K in (1, 3):
+        preds_f, scores_f = beam_search(
+            params, cfg, enc_out, mem_mask, K, 1.0, 14, use_flash=True)
+        preds_q, scores_q = beam_search(
+            params, cfg, enc_out, mem_mask, K, 1.0, 14, use_flash=True,
+            weight_dtype="int8")
+        np.testing.assert_array_equal(_np(preds_f), _np(preds_q))
+        np.testing.assert_allclose(_np(scores_f), _np(scores_q),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_int8_weight_streaming_close_random():
+    """On arbitrary weights the int8 layer step stays within quantization
+    tolerance of the f32 step (per-output-channel symmetric, ~0.4% of each
+    column's dynamic range per weight)."""
+    import stjep_tpu.ops.decode_flash as df
+
+    rng = np.random.RandomState(23)
+    B, K, d_model, n_head, Lk = 2, 2, 16, 4, 5
+    BK = B * K
+    L = BLOCK
+    Lk_pad = pad_len(Lk, CROSS_BLOCK)
+    p = decoder_layer_init(jax.random.PRNGKey(9), d_model, n_head,
+                           d_model * 2)
+    pq = {"layers": [p]}
+    pq = df.quantize_decoder_weights(pq)["layers"][0]
+
+    mem = jnp.asarray(rng.randn(B, Lk, d_model).astype(np.float32))
+    mem_pad = jnp.pad(mem, ((0, 0), (0, Lk_pad - Lk), (0, 0)))
+    fmem_k = linear(p["encdec_attn"]["w_ks"], mem_pad)
+    fmem_v = linear(p["encdec_attn"]["w_vs"], mem_pad)
+    mem_mask_pad = jnp.pad(jnp.ones((B, Lk), bool),
+                           ((0, 0), (0, Lk_pad - Lk)))
+    anc = jnp.broadcast_to(
+        (jnp.arange(BK, dtype=jnp.int32) % K)[:, None], (BK, L))
+    mask_k = jnp.ones((BK, L), bool)
+
+    fck = jnp.zeros((K, B, L, d_model))
+    fcv = jnp.zeros((K, B, L, d_model))
+    qck = jnp.zeros((K, B, L, d_model))
+    qcv = jnp.zeros((K, B, L, d_model))
+    rng2 = np.random.RandomState(29)
+    for t in range(4):
+        x_t = jnp.asarray(rng2.randn(BK, 1, d_model).astype(np.float32))
+        y_f, fck, fcv = df.decoder_layer_step_flash(
+            p, x_t, fck, fcv, fmem_k, fmem_v, jnp.int32(t), n_head,
+            anc.T, K, mem_mask_pad.T, mask_k.T)
+        y_q, qck, qcv = df.decoder_layer_step_flash(
+            pq, x_t, qck, qcv, fmem_k, fmem_v, jnp.int32(t), n_head,
+            anc.T, K, mem_mask_pad.T, mask_k.T)
+        scale = float(jnp.max(jnp.abs(y_f)))
+        err = float(jnp.max(jnp.abs(y_f - y_q)))
+        assert err < 0.03 * scale, (t, err, scale)

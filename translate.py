@@ -52,6 +52,13 @@ def load_arguments(parser):
         help='decode dtype: float32 (token-identical to the reference) | '
              'bfloat16 (~1.5x faster; the KV cache AND the staged acoustic '
              'features are bf16, so hypotheses may flip near-ties)')
+    parser.add_argument('--weight_dtype', type=str, default='float32',
+        choices=['float32', 'int8'],
+        help='decoder weight-streaming dtype for the fused beam kernels: '
+             'float32 (line-identical to the reference) | int8 (serving-'
+             'latency mode — per-output-channel quantized weights quarter '
+             'the per-step weight HBM reads that dominate small-batch '
+             'decode; hypotheses may differ from the f32 oracle)')
     parser.add_argument('--feat_dtype', type=str, default='auto',
         choices=['auto', 'float32', 'bfloat16', 'int8'],
         help='acoustic-feature staging dtype: auto (follows '
@@ -97,7 +104,8 @@ _FWD_CACHE: dict = {}
 def translate(test_set, cfg, params, test_path_out, max_seq_len, beam_width,
               seqrev=False, gen_mode='ASR', lm_mode='null', lm_model=None,
               history='HYP', minibatch_size=None, logger_print=print,
-              beam_cache_dtype='float32', feat_dtype='auto'):
+              beam_cache_dtype='float32', feat_dtype='auto',
+              weight_dtype='float32'):
     """MODE 1: beam-decode the test set to translate.txt
     (ref: translate.py:56-197)."""
     import jax
@@ -139,16 +147,18 @@ def translate(test_set, cfg, params, test_path_out, max_seq_len, beam_width,
     # program costs seconds — a serving process that translates stream
     # after stream would pay it on every call (no-LM path only; lm_fuse
     # closures are not comparable)
+    assert weight_dtype in ('float32', 'int8'), weight_dtype
     fwd_key = None
     if lm_fuse is None:
         fwd_key = (repr(cfg), gen_mode, beam_width, max_seq_len, refen,
-                   beam_cache_dtype, feat_dtype)
+                   beam_cache_dtype, feat_dtype, weight_dtype)
     fwd = _FWD_CACHE.get(fwd_key)
     if fwd is None:
         base = partial(
             forward_translate, cfg=cfg, mode=gen_mode, beam_width=beam_width,
             penalty_factor=1.0, max_seq_len=max_seq_len, refen=refen,
             lm_fuse=lm_fuse, cache_dtype=cache_dtype,
+            weight_dtype=None if weight_dtype == 'float32' else weight_dtype,
         )
         if feat_dtype == 'int8':
             from stjep_tpu.data.device_cache import dequantize
@@ -457,7 +467,8 @@ def main():
                   seqrev=config['seqrev'], gen_mode=gen_mode,
                   lm_mode=lm_mode, lm_model=lm_model, history=history,
                   beam_cache_dtype=config['beam_cache_dtype'],
-                  feat_dtype=config.get('feat_dtype', 'auto'))
+                  feat_dtype=config.get('feat_dtype', 'auto'),
+                  weight_dtype=config.get('weight_dtype', 'float32'))
     elif MODE == 2:
         assert config['combine_path'], (
             "--eval_mode 2 (checkpoint combine/average) requires "
