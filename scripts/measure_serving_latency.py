@@ -82,24 +82,44 @@ feats = jnp.asarray(rng.randn(1, T, b["acous_dim"]).astype(np.float32))
 lens = jnp.asarray(np.array([T - 8], np.int32))
 
 
-def timeit_ms(fn, *args, win=5, repeats=6, drain=None):
-    if drain is None:
-        def drain(out):
-            # device-side scalar index: readback transfers ONE element, not
-            # the whole tensor (the tunnel moves ~35 MB/s — a full-leaf
-            # np.asarray would dominate the stage being measured)
-            leaf = jax.tree_util.tree_leaves(out)[0]
-            return float(np.asarray(leaf[(0,) * leaf.ndim]))
-    for _ in range(2):
-        drain(fn(*args))
-    med = []
+def _default_drain(out):
+    # device-side scalar index: readback transfers ONE element, not
+    # the whole tensor (the tunnel moves ~35 MB/s — a full-leaf
+    # np.asarray would dominate the stage being measured)
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    return float(np.asarray(leaf[(0,) * leaf.ndim]))
+
+
+def measure_programs(programs, win=5, repeats=6):
+    """Interleaved paired timing: each repeat round times EVERY program
+    once (win pipelined calls, drained once), so per-stage deltas are
+    computed WITHIN a round and medianed across rounds. This pairs the
+    prefixes against tunnel/service drift — independent per-prefix medians
+    produced a physically impossible negative tf_encoder stage in the r4
+    artifact when the pyramid prefix drifted between its window and the
+    longer prefix's window.
+
+    programs: list of (name, fn, args, drain_or_None).
+    Returns {name: [ms per round]}."""
+    progs = [(n, f, a, d or _default_drain) for (n, f, a, d) in programs]
+    for _, f, a, d in progs:
+        for _ in range(2):
+            d(f(*a))
+    times = {n: [] for n, _, _, _ in progs}
     for _ in range(repeats):
-        t0 = time.perf_counter()
-        for _ in range(win):
-            out = fn(*args)
-        drain(out)
-        med.append((time.perf_counter() - t0) / win * 1000)
-    return float(np.median(med))
+        for n, f, a, d in progs:
+            t0 = time.perf_counter()
+            for _ in range(win):
+                out = f(*a)
+            d(out)
+            times[n].append((time.perf_counter() - t0) / win * 1000)
+    return times
+
+
+def paired_delta_ms(times, longer, shorter):
+    """Median over rounds of the within-round (longer - shorter) delta."""
+    return float(np.median(
+        [a - b for a, b in zip(times[longer], times[shorter])]))
 
 
 stages = {}
@@ -115,23 +135,16 @@ from stjep_tpu.infer.forward import _encode_for_mode
 # prefix 1: pyramid only
 pyr = jax.jit(lambda p, f, l: las_encoder_forward(
     p, cfg, f, acous_lens=l, is_training=False))
-ms_pyr = timeit_ms(pyr, params["las"]["encoder"], feats, lens)
 
 # prefix 2: pyramid + fused free-running greedy (the full LAS stage)
 las_full = jax.jit(lambda p, f, l: _encoder_acous(
     p, cfg, f, l, tgt=None, is_training=False, teacher_forcing=False,
     max_seq_len=cfg.max_seq_len_src, want_logps=False, flash_ok=True))
-ms_las = timeit_ms(
-    las_full, params, feats, lens,
-    drain=lambda out: int(np.asarray(out[2][0, 0])))
 
 # prefix 3: + static-emb lookup + projection + TF encoder (the exact
 # production memory builder)
 enc_j = jax.jit(lambda p, f, l: _encode_for_mode(
     p, cfg, "ST", None, f, l, None, False))
-ms_enc = timeit_ms(
-    enc_j, params, feats, lens,
-    drain=lambda out: float(np.asarray(out[0][0, 0, 0])))
 
 # prefix 4 (full): + fused beam-5 decode (bench's serving surface)
 dec1 = jax.jit(partial(
@@ -139,8 +152,29 @@ dec1 = jax.jit(partial(
     penalty_factor=1.0, max_seq_len=b["decode_len"],
     cache_dtype=jnp.bfloat16,
 ))
-full_ms = timeit_ms(lambda p: dec1(p, acous_feats=feats, acous_lens=lens),
-                    params)
+
+# alternative full arm: --weight_dtype int8 (declared below; measured in
+# the same interleaved rounds so its delta vs prefix 3 is paired too)
+dec1_q = jax.jit(partial(
+    forward_translate, cfg=cfg, mode="ST", beam_width=b["beam"],
+    penalty_factor=1.0, max_seq_len=b["decode_len"],
+    cache_dtype=jnp.bfloat16, weight_dtype="int8",
+))
+
+times = measure_programs([
+    ("pyr", pyr, (params["las"]["encoder"], feats, lens), None),
+    ("las", las_full, (params, feats, lens),
+     lambda out: int(np.asarray(out[2][0, 0]))),
+    ("enc", enc_j, (params, feats, lens),
+     lambda out: float(np.asarray(out[0][0, 0, 0]))),
+    ("full", lambda p: dec1(p, acous_feats=feats, acous_lens=lens),
+     (params,), None),
+    ("full_q", lambda p: dec1_q(p, acous_feats=feats, acous_lens=lens),
+     (params,), None),
+])
+ms_pyr = float(np.median(times["pyr"]))
+full_ms = float(np.median(times["full"]))
+full_q_ms = float(np.median(times["full_q"]))
 
 las_steps = b["max_src"] - 1
 beam_steps = b["decode_len"] - 1
@@ -151,39 +185,36 @@ dec_weight_bytes = sum(
     for x in jax.tree_util.tree_leaves(params["out_tgt"]))
 step_floor_us = dec_weight_bytes / HBM_BW * 1e6
 
+d_las = paired_delta_ms(times, "las", "pyr")
+d_enc = paired_delta_ms(times, "enc", "las")
+d_beam = paired_delta_ms(times, "full", "enc")
+d_beam_q = paired_delta_ms(times, "full_q", "enc")
+
 stages["pyramid"] = {"ms": round(ms_pyr, 2)}
 stages["las_greedy"] = {
-    "ms": round(ms_las - ms_pyr, 2),
+    "ms": round(d_las, 2),
     "steps": las_steps,
-    "us_per_step": round((ms_las - ms_pyr) / las_steps * 1000, 1),
+    "us_per_step": round(d_las / las_steps * 1000, 1),
     "floor_note": "kernel weights VMEM-resident (ops/las_flash.py); the "
                   "per-step cost is the dependent LSTM+attention+head "
                   "chain, flat in batch up to ~128 rows",
 }
-stages["tf_encoder"] = {"ms": round(ms_enc - ms_las, 2)}
+stages["tf_encoder"] = {"ms": round(d_enc, 2)}
 stages["tf_beam"] = {
-    "ms": round(full_ms - ms_enc, 2),
+    "ms": round(d_beam, 2),
     "steps": beam_steps,
-    "us_per_step": round((full_ms - ms_enc) / beam_steps * 1000, 1),
+    "us_per_step": round(d_beam / beam_steps * 1000, 1),
     "floor_us_per_step_weight_stream": round(step_floor_us, 1),
     "floor_ms": round(step_floor_us * beam_steps / 1000, 2),
-    "floor_note": "decoder+head weights re-read from HBM each step (one "
-                  "pallas launch per layer-step); random-init weights "
-                  "never all-EOS so the while_loop runs every step — "
-                  "trained models exit early",
+    "floor_note": "decoder+head weights re-read from HBM each step; "
+                  "random-init weights never all-EOS so the while_loop "
+                  "runs every step — trained models exit early",
 }
 
 # int8 weight-streaming arm (--weight_dtype int8): same full pipeline,
 # quantized decoder weights streamed by the fused beam kernels — the
 # ONLY line of attack on the weight-stream floor above is shrinking the
 # bytes (per-output-channel symmetric int8, ops/decode_flash.py)
-dec1_q = jax.jit(partial(
-    forward_translate, cfg=cfg, mode="ST", beam_width=b["beam"],
-    penalty_factor=1.0, max_seq_len=b["decode_len"],
-    cache_dtype=jnp.bfloat16, weight_dtype="int8",
-))
-full_q_ms = timeit_ms(lambda p: dec1_q(p, acous_feats=feats,
-                                       acous_lens=lens), params)
 from stjep_tpu.ops.decode_flash import QUANT_CROSS, QUANT_FFN, QUANT_SELF
 
 q_bytes = 0
@@ -195,9 +226,9 @@ for lp in params["dec_tgt"]["layers"]:
             q_bytes += np.asarray(lp[sub][k]["w"]).nbytes
 q_floor_us = ((dec_weight_bytes - q_bytes) + q_bytes // 4) / HBM_BW * 1e6
 stages["tf_beam_int8w"] = {
-    "ms": round(full_q_ms - ms_enc, 2),
+    "ms": round(d_beam_q, 2),
     "steps": beam_steps,
-    "us_per_step": round((full_q_ms - ms_enc) / beam_steps * 1000, 1),
+    "us_per_step": round(d_beam_q / beam_steps * 1000, 1),
     "floor_us_per_step_weight_stream": round(q_floor_us, 1),
     "floor_ms": round(q_floor_us * beam_steps / 1000, 2),
     "floor_note": "per-step-streamed decoder matrices quantized int8 "
@@ -228,12 +259,23 @@ result = {
     "pipelined_full_int8w_ms": round(full_q_ms, 1),
     "tunnel_share_ms": round(blocking_ms - full_ms, 1),
     "stages": stages,
-    "protocol": "pipelined 5-call windows, median of 6, over CUMULATIVE "
-                "single-program prefixes of the production pipeline; "
-                "stage rows are telescoping deltas, so per-call dispatch "
-                "cancels and the stages sum to pipelined_full_ms by "
-                "construction",
+    "protocol": "interleaved paired timing: every repeat round times all "
+                "prefix programs once (5 pipelined calls drained once); "
+                "stage rows are medians of WITHIN-ROUND telescoping deltas "
+                "over cumulative single-program prefixes, so per-call "
+                "dispatch and cross-round tunnel drift cancel. The "
+                "telescoping stages (pyramid, las_greedy, tf_encoder, "
+                "tf_beam) sum to pipelined_full_ms up to median "
+                "re-ordering; tf_beam_int8w is a SUBSTITUTE arm for "
+                "tf_beam (full_q - enc prefix, the --weight_dtype int8 "
+                "pipeline) and is excluded from that sum",
 }
+neg = [k for k, v in stages.items() if v["ms"] < 0]
+if neg:
+    result["noise_note"] = (
+        "stages {} medianed negative — paired deltas still "
+        "noise-dominated at this magnitude; treat those rows as ~0".format(
+            neg))
 print(json.dumps(result, indent=2))
 path = os.path.join(ROOT, "benchmarks", "serving_latency_b1.json")
 with open(path, "w") as f:

@@ -266,9 +266,22 @@ def _beam_search_flash(
         mem_mask_b = jnp.ones((B, Lk), bool)
     mem_mask_t = jnp.pad(mem_mask_b, ((0, 0), (0, Lk_pad - Lk))).T
 
-    cache = tf_decoder_init_cache_flash(
-        params["dec_tgt"], cfg, enc_outputs, max_seq_len, K,
-        cache_dtype=cache_dtype)
+    from stjep_tpu.ops.decode_flash import chain_supported
+
+    use_chain = tp_axis is None and chain_supported(cfg)
+    if use_chain:
+        from stjep_tpu.models.tf_decoder import (
+            tf_decoder_chain_step,
+            tf_decoder_init_cache_chain,
+        )
+
+        cache = tf_decoder_init_cache_chain(
+            params["dec_tgt"], cfg, enc_outputs, max_seq_len, K,
+            cache_dtype=cache_dtype)
+    else:
+        cache = tf_decoder_init_cache_flash(
+            params["dec_tgt"], cfg, enc_outputs, max_seq_len, K,
+            cache_dtype=cache_dtype)
     preds = jnp.full((BK, Lbuf), PAD, jnp.int32).at[:, 0].set(BOS)
     batch_offset = (jnp.arange(B) * (K * K))[:, None]
     own_row = (jnp.arange(BK, dtype=jnp.int32) % K)[None, :]  # [1, BK]
@@ -280,6 +293,12 @@ def _beam_search_flash(
         pos = s.i - 1
         tok = jax.lax.dynamic_index_in_dim(s.preds, pos, axis=1, keepdims=False)
         emb = _embed_tgt_token(params, cfg, tok)[:, None, :]
+        if use_chain:
+            # whole position (all layers + head) in ONE pallas launch
+            return tf_decoder_chain_step(
+                params["dec_tgt"], params["out_tgt"], cfg, emb, s.cache,
+                pos, s.anc, K, mem_mask_t, (s.preds != PAD).T, K,
+                max_time=max_time)
         dec_out, cache = tf_decoder_step_flash(
             params["dec_tgt"], cfg, emb, s.cache, pos, s.anc, K,
             mem_mask_t, (s.preds != PAD).T, max_time=max_time,

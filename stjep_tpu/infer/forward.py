@@ -105,6 +105,14 @@ def forward_translate(
 
     ASR mode returns [B, max_seq_len_src-1] LAS tokens; other modes return
     [B, max_seq_len] best-beam tokens with leading BOS, PAD-padded."""
+    if mode == "ASR" and weight_dtype is not None:
+        # same failure surface as beam_search's explicit check: the LAS
+        # greedy path has no weight-streaming mode, so the flag must never
+        # be a silent no-op here
+        raise ValueError(
+            "weight_dtype={!r} only applies to the fused transformer beam "
+            "decode; ASR (LAS greedy) has no weight-streaming mode".format(
+                weight_dtype))
     if mode == "ASR":
         if refen:
             # the reference LM-fuses even the teacher-forced refen pass —
@@ -143,6 +151,13 @@ def forward_translate(
                 weight_dtype=weight_dtype,
             )
             return preds
+        if weight_dtype is not None:
+            # keep the failure surface consistent with beam_search: the
+            # dense CPU greedy while_loop has no weight-streaming mode
+            raise ValueError(
+                "weight_dtype={!r} needs the fused decode kernels; the CPU "
+                "greedy fallback has no weight-streaming mode".format(
+                    weight_dtype))
         from stjep_tpu.models.seq2seq import _greedy_decode
 
         preds, _ = _greedy_decode(

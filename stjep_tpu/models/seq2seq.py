@@ -470,8 +470,20 @@ def _greedy_decode_flash(params, cfg: ModelConfig, enc_outputs, mem_mask_b,
                    ((0, 0), (0, max(0, Lbuf - ref_tokens.shape[1]))))
     anc = jnp.zeros((Lbuf, B), jnp.int32)  # greedy: every row is its own group
 
-    cache = tf_decoder_init_cache_flash(
-        params["dec_tgt"], cfg, enc_outputs, length_out, 1)
+    from stjep_tpu.ops.decode_flash import chain_supported
+
+    use_chain = tp_axis is None and chain_supported(cfg)
+    if use_chain:
+        from stjep_tpu.models.tf_decoder import (
+            tf_decoder_chain_step,
+            tf_decoder_init_cache_chain,
+        )
+
+        cache = tf_decoder_init_cache_chain(
+            params["dec_tgt"], cfg, enc_outputs, length_out, 1)
+    else:
+        cache = tf_decoder_init_cache_flash(
+            params["dec_tgt"], cfg, enc_outputs, length_out, 1)
     init = _FlashGreedyState(
         i=jnp.int32(1),
         tokens=jnp.full((B, Lbuf), PAD, jnp.int32).at[:, 0].set(BOS),
@@ -487,18 +499,28 @@ def _greedy_decode_flash(params, cfg: ModelConfig, enc_outputs, mem_mask_b,
         pos = s.i - 1
         tok = jax.lax.dynamic_index_in_dim(s.tokens, pos, axis=1, keepdims=False)
         emb = _embed_tgt_token(params, cfg, tok)[:, None, :]
-        dec_out, cache = tf_decoder_step_flash(
-            params["dec_tgt"], cfg, emb, s.cache, pos, anc, 1,
-            mem_mask_t, (s.tokens != PAD).T, max_time=max_time,
-            final_norm=False, tp_axis=tp_axis)
         gid = jax.lax.dynamic_index_in_dim(refs, s.i, axis=1, keepdims=False)
-        if tp_axis is not None:
+        if use_chain:
+            # whole position (all layers + gathered head) in ONE launch
+            _, pred1, ref_lp, cache = tf_decoder_chain_step(
+                params["dec_tgt"], params["out_tgt"], cfg, emb, s.cache,
+                pos, anc, 1, mem_mask_t, (s.tokens != PAD).T, 1,
+                max_time=max_time, gather_ids=gid)
+        elif tp_axis is not None:
             from stjep_tpu.ops.decode_flash_tp import decode_head_tp
 
+            dec_out, cache = tf_decoder_step_flash(
+                params["dec_tgt"], cfg, emb, s.cache, pos, anc, 1,
+                mem_mask_t, (s.tokens != PAD).T, max_time=max_time,
+                final_norm=False, tp_axis=tp_axis)
             _, pred1, ref_lp = decode_head_tp(
                 params["dec_tgt"]["norm"], params["out_tgt"], dec_out[:, 0],
                 1, tp_axis, gather_ids=gid)
         else:
+            dec_out, cache = tf_decoder_step_flash(
+                params["dec_tgt"], cfg, emb, s.cache, pos, anc, 1,
+                mem_mask_t, (s.tokens != PAD).T, max_time=max_time,
+                final_norm=False, tp_axis=tp_axis)
             _, pred1, ref_lp = decode_head_gather(
                 params["dec_tgt"]["norm"], params["out_tgt"], dec_out[:, 0],
                 1, gid)

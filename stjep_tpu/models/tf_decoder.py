@@ -265,6 +265,80 @@ def tf_decoder_step_flash(
     return x, cache._replace(self_k=tuple(self_k), self_v=tuple(self_v))
 
 
+def tf_decoder_init_cache_chain(
+    params: Dict, cfg: ModelConfig, memory: jnp.ndarray, max_len: int,
+    group: int, cache_dtype=None,
+) -> TFDecCache:
+    """Cache init for the chained whole-step kernel
+    (ops/decode_flash.decode_chain_step_flash): the per-layer flash-layout
+    caches stacked along a leading layer axis — self [nl, group, B, Lpad, D],
+    memory K/V [nl, B, Lk_pad, D] — so the kernel addresses layer `l` with
+    one dynamic leading index. Fields hold the stacked arrays directly
+    (not per-layer tuples)."""
+    from stjep_tpu.ops.attention import linear
+    from stjep_tpu.ops.decode_flash import BLOCK, CROSS_BLOCK, pad_len
+
+    B, Lk, _ = memory.shape
+    nl = cfg.dec_layers
+    Lbuf = pad_len(max_len, BLOCK)
+    Lk_pad = pad_len(Lk, CROSS_BLOCK)
+    mem = jnp.pad(memory, ((0, 0), (0, Lk_pad - Lk), (0, 0)))
+    dt = cache_dtype or memory.dtype
+    mem_ks, mem_vs = [], []
+    for i in range(nl):
+        ca = _layer_params(params, cfg, i)["encdec_attn"]
+        mem_ks.append(linear(ca["w_ks"], mem).astype(dt))
+        mem_vs.append(linear(ca["w_vs"], mem).astype(dt))
+    d_cache = _layer_params(params, cfg, 0)["decslf_attn"]["w_ks"]["w"].shape[1]
+    zeros = jnp.zeros((nl, group, B, Lbuf, d_cache), dt)
+    return TFDecCache(
+        self_k=zeros, self_v=zeros,
+        mem_k=jnp.stack(mem_ks, axis=0), mem_v=jnp.stack(mem_vs, axis=0),
+    )
+
+
+def tf_decoder_chain_step(
+    params: Dict,  # dec_tgt subtree (possibly int8-quantized layers)
+    out_params: Dict,  # out_tgt linear
+    cfg: ModelConfig,
+    x_new: jnp.ndarray,  # [B*K, 1, D] embedded token at position `pos`
+    cache: TFDecCache,  # stacked, from tf_decoder_init_cache_chain
+    pos: jnp.ndarray,
+    anc: jnp.ndarray,  # [Lpad, B*K] int32 ancestry TRANSPOSED
+    group: int,
+    mem_mask_pad: jnp.ndarray,  # [Lk_pad, B] bool TRANSPOSED
+    self_mask_k: jnp.ndarray,  # [Lpad, B*K] bool TRANSPOSED
+    topk: int,
+    max_time: int = UPPERBOUND_SEQ_LEN,
+    gather_ids: Optional[jnp.ndarray] = None,
+):
+    """Whole decode position (all layers + decode head) in ONE pallas
+    launch. Returns (score_k, pred_k, [glp,] new_cache) — the head output
+    contract of decode_head[_gather], so callers skip the separate head
+    launch. Standard transformer only (chain_supported)."""
+    from stjep_tpu.ops.decode_flash import (
+        decode_chain_step_flash,
+        stack_decoder_layers,
+    )
+
+    time_sig = position_signal(max_time, cfg.dim_model)
+    x = x_new + jax.lax.dynamic_slice_in_dim(time_sig, pos, 1, axis=1).astype(
+        x_new.dtype
+    )
+    stacked, quant = stack_decoder_layers(params)
+    outs = decode_chain_step_flash(
+        stacked, quant, params["norm"], out_params, x,
+        cache.self_k, cache.self_v, cache.mem_k, cache.mem_v,
+        pos, cfg.num_heads, anc, group, mem_mask_pad, self_mask_k,
+        topk, gather_ids=gather_ids,
+    )
+    if gather_ids is not None:
+        sc, ids, glp, ck, cv = outs
+        return sc, ids, glp, cache._replace(self_k=ck, self_v=cv)
+    sc, ids, ck, cv = outs
+    return sc, ids, cache._replace(self_k=ck, self_v=cv)
+
+
 def tf_decoder_step(
     params: Dict,
     cfg: ModelConfig,

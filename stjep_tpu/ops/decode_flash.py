@@ -859,6 +859,292 @@ def decoder_layer_step_flash_trio(
 
 
 # ---------------------------------------------------------------------------
+# 3b. chained whole-step kernel: ALL layers + decode head in ONE launch
+# ---------------------------------------------------------------------------
+#
+# serving_latency_b1.json (r4): at B=1 the beam stage ran 59.5 us/step int8
+# against a 35.2 us weight-stream floor — the gap is per-launch overhead of
+# the 6 layer launches + 1 head launch per decode step, plus the XLA glue
+# between them. This kernel runs the WHOLE decode position in one
+# pallas_call with `grid=(n_layers,)`: per-layer weights arrive as stacked
+# [nl, ...] tensors whose blocks Pallas auto-pipelines (layer l+1's weight
+# DMA overlaps layer l's compute — the double-buffered weight streaming the
+# r4 design doc called for, for free), the hidden state x rides a VMEM
+# scratch across grid steps, and the final grid step also runs the decode
+# head (final LN -> out proj -> log_softmax -> top-k [+ gathered ref logp]).
+# Launches per decode position: 7 -> 1.
+
+
+def _stack_leaf(lps, *path):
+    vals = []
+    for lp in lps:
+        v = lp
+        for p in path:
+            v = v[p]
+        vals.append(v)
+    out = jnp.stack(vals, axis=0)
+    if out.ndim == 2:
+        # 1-D leaves (LN scales/biases, FFN biases) stack to [nl, D], whose
+        # per-layer block (1, D) Mosaic rejects (the sublane block dim must
+        # divide 8 or equal the array dim). [nl, 1, D] blocks as (1, 1, D)
+        # — trailing dims equal the array — and [1, D] broadcasts in the
+        # cores exactly like [D].
+        out = out[:, None, :]
+    return out
+
+
+CHAIN_KEYS_F32 = (
+    ("decslf_attn", "layer_norm", "scale"), ("decslf_attn", "layer_norm", "bias"),
+    ("decslf_attn", "w_qs", "w"), ("decslf_attn", "w_ks", "w"),
+    ("decslf_attn", "w_vs", "w"), ("decslf_attn", "fc", "w"),
+    ("encdec_attn", "layer_norm", "scale"), ("encdec_attn", "layer_norm", "bias"),
+    ("encdec_attn", "w_qs", "w"), ("encdec_attn", "fc", "w"),
+    ("pos_ffn", "layer_norm", "scale"), ("pos_ffn", "layer_norm", "bias"),
+    ("pos_ffn", "w_1", "w"), ("pos_ffn", "w_1", "b"),
+    ("pos_ffn", "w_2", "w"), ("pos_ffn", "w_2", "b"),
+)
+CHAIN_KEYS_Q8 = (
+    ("decslf_attn", "layer_norm", "scale"), ("decslf_attn", "layer_norm", "bias"),
+    ("decslf_attn", "w_qs", "w"), ("decslf_attn", "w_qs", "w_s"),
+    ("decslf_attn", "w_ks", "w"), ("decslf_attn", "w_ks", "w_s"),
+    ("decslf_attn", "w_vs", "w"), ("decslf_attn", "w_vs", "w_s"),
+    ("decslf_attn", "fc", "w"), ("decslf_attn", "fc", "w_s"),
+    ("encdec_attn", "layer_norm", "scale"), ("encdec_attn", "layer_norm", "bias"),
+    ("encdec_attn", "w_qs", "w"), ("encdec_attn", "w_qs", "w_s"),
+    ("encdec_attn", "fc", "w"), ("encdec_attn", "fc", "w_s"),
+    ("pos_ffn", "layer_norm", "scale"), ("pos_ffn", "layer_norm", "bias"),
+    ("pos_ffn", "w_1", "w"), ("pos_ffn", "w_1", "w_s"), ("pos_ffn", "w_1", "b"),
+    ("pos_ffn", "w_2", "w"), ("pos_ffn", "w_2", "w_s"), ("pos_ffn", "w_2", "b"),
+)
+
+
+def stack_decoder_layers(dec_params: Dict) -> Tuple[Tuple[jnp.ndarray, ...], bool]:
+    """Stack each per-layer streamed weight into one [n_layers, ...] tensor
+    (loop-invariant, so jit hoists the stacking out of the decode loop).
+    Accepts plain or quantize_decoder_weights'd layer trees; returns
+    (stacked tensors in CHAIN_KEYS order, quantized?)."""
+    lps = list(dec_params["layers"])
+    quant = "w_s" in lps[0]["decslf_attn"]["w_qs"]
+    keys = CHAIN_KEYS_Q8 if quant else CHAIN_KEYS_F32
+    return tuple(_stack_leaf(lps, *k) for k in keys), quant
+
+
+def chain_supported(cfg) -> bool:
+    """The chained kernel covers the standard (non-universal, non-ACT)
+    decoder; universal's per-layer signal add keeps the per-layer path.
+    Interpret mode (CPU) has no tiling constraint, so the oracle/beam
+    parity suites (which force flash on CPU) pin the chain path — the
+    default on TPU — end to end. STJEP_NO_CHAIN=1 restores the per-layer
+    launches for A/B."""
+    import os
+
+    if os.environ.get("STJEP_NO_CHAIN"):
+        return False
+    if getattr(cfg, "transformer_type", "standard") != "standard":
+        return False
+    if jax.default_backend() == "cpu":
+        return True
+    return flash_supported(cfg.dim_model)
+
+
+def _chain_kernel(pos_ref, x_ref, anc_ref, maskk_ref, memmask_ref, gid_ref,
+                  *rest,
+                  n_head: int, group: int, bs: int, blk: int,
+                  n_layers: int, topk: int, gather: bool, quant: bool):
+    from jax.experimental import pallas as pl
+
+    n_w = len(CHAIN_KEYS_Q8 if quant else CHAIN_KEYS_F32)
+    wrefs = rest[:n_w]
+    (hlns_ref, hlnb_ref, hw_ref, ck_in, cv_in, mk_hbm, mv_hbm,
+     sc_ref, id_ref) = rest[n_w:n_w + 9]
+    k = n_w + 9
+    if gather:
+        glp_ref = rest[k]
+        k += 1
+    ck_out, cv_out = rest[k], rest[k + 1]
+    (xs, kbuf, vbuf, mkbuf, mvbuf,
+     sem_self, sem_wr, sem_cross) = rest[k + 2:k + 10]
+
+    lyr = pl.program_id(0)
+    f32 = jnp.float32
+
+    @pl.when(lyr == 0)
+    def _():
+        xs[:] = x_ref[:]
+
+    # blocked stacked weights arrive as [1, ...] VMEM tiles; [0] drops the
+    # layer dim (the cores accept plain arrays — `arr[:]` is the array)
+    w = [r[0] for r in wrefs]
+    if quant:
+        dq = lambda i: w[i].astype(f32) * w[i + 1]
+        slns, slnb = w[0], w[1]
+        swq, swk, swv, swo = dq(2), dq(4), dq(6), dq(8)
+        clns, clnb = w[10], w[11]
+        cwq, cwo = dq(12), dq(14)
+        flns, flnb = w[16], w[17]
+        w1, b1 = dq(18), w[20]
+        w2, b2 = dq(21), w[23]
+    else:
+        (slns, slnb, swq, swk, swv, swo,
+         clns, clnb, cwq, cwo,
+         flns, flnb, w1, b1, w2, b2) = w
+
+    y = _self_core(
+        pos_ref[0], xs[:], anc_ref, maskk_ref,
+        slns, slnb, swq, swk, swv, swo,
+        ck_out.at[lyr], cv_out.at[lyr], kbuf, vbuf,
+        sem_self, sem_wr, n_head, group, blk)
+    y = _cross_core(
+        y, memmask_ref, clns, clnb, cwq, cwo,
+        mk_hbm.at[lyr], mv_hbm.at[lyr], mkbuf, mvbuf, sem_cross,
+        n_head, group, bs)
+    y = _ffn_core(y, flns, flnb, w1, b1, w2, b2)
+    xs[:] = y
+
+    @pl.when(lyr == n_layers - 1)
+    def _head():
+        x = _ln(y, hlns_ref[:], hlnb_ref[:], eps=1e-5)  # torch default eps
+        logits = jnp.dot(x, hw_ref[:], preferred_element_type=f32)
+        BK, V = logits.shape
+        mx = jnp.max(logits, axis=-1)
+        se = jnp.sum(jnp.exp(logits - mx[:, None]), axis=-1)
+        lse = mx + jnp.log(se)
+        iota = jax.lax.broadcasted_iota(jnp.int32, (BK, V), 1)
+        cur = logits
+        scs, ids = [], []
+        for _k in range(topk):
+            mk = jnp.max(cur, axis=-1)
+            amk = jnp.min(jnp.where(cur == mk[:, None], iota, V), axis=-1)
+            scs.append((mk - lse)[:, None])
+            ids.append(amk[:, None].astype(jnp.int32))
+            cur = jnp.where(iota == amk[:, None], -1e30, cur)
+        sc_ref[:] = jnp.concatenate(scs, axis=1)
+        id_ref[:] = jnp.concatenate(ids, axis=1)
+        if gather:
+            gid = gid_ref[:, 0][:, None]
+            glog = jnp.sum(jnp.where(iota == gid, logits, 0.0), axis=-1)
+            glp_ref[:] = (glog - lse)[:, None]
+
+
+def decode_chain_step_flash(
+    stacked: Tuple[jnp.ndarray, ...],  # from stack_decoder_layers
+    quant: bool,
+    norm_params: Dict,  # final decoder LayerNorm
+    out_params: Dict,  # out_tgt linear
+    x_new: jnp.ndarray,  # [B*K, 1, D] embedded token (+ time signal)
+    cache_k: jnp.ndarray,  # [nl, group, B, Lpad, D] stacked HBM caches
+    cache_v: jnp.ndarray,
+    mem_k: jnp.ndarray,  # [nl, B, Lk_pad, D] stacked cross K/V projections
+    mem_v: jnp.ndarray,
+    pos: jnp.ndarray,
+    n_head: int,
+    anc: jnp.ndarray,  # [Lpad, B*K] transposed
+    group: int,
+    mem_mask: jnp.ndarray,  # [Lk_pad, B] transposed
+    self_mask_k: jnp.ndarray,  # [Lpad, B*K] transposed
+    topk: int,
+    gather_ids: Optional[jnp.ndarray] = None,  # [B*K] -> also return ref logp
+):
+    """One launch per decode position: all layers + the decode head.
+
+    Returns (score_k [BK, topk], pred_k [BK, topk], [glp [BK],]
+    cache_k, cache_v). Math is identical (same cores, same order) to the
+    per-layer decoder_layer_step_flash sequence + decode_head[_gather]."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    BK, _, D = x_new.shape
+    nl, _, B, L, _ = cache_k.shape
+    Lk = mem_k.shape[2]
+    blk, _ = stream_blocks(BK, D, jnp.dtype(cache_k.dtype).itemsize)
+    _, bs = stream_blocks(BK, D, jnp.dtype(mem_k.dtype).itemsize)
+    assert cache_k.shape[1] == group and BK == B * group
+    assert anc.shape == (L, BK) and self_mask_k.shape == (L, BK)
+    assert mem_mask.shape == (Lk, B)
+    assert L % blk == 0 and Lk % bs == 0
+    f32 = jnp.float32
+    cdt = cache_k.dtype
+    mdt = mem_k.dtype
+    gather = gather_ids is not None
+
+    gid = (gather_ids.astype(jnp.int32)[:, None] if gather
+           else jnp.zeros((BK, 1), jnp.int32))
+    args = (
+        jnp.asarray(pos, jnp.int32).reshape(1),
+        x_new[:, 0, :].astype(f32),
+        anc.astype(jnp.int32),
+        self_mask_k.astype(jnp.int32),
+        mem_mask.astype(jnp.int32),
+        gid,
+    ) + tuple(stacked) + (
+        norm_params["scale"], norm_params["bias"], out_params["w"],
+        cache_k, cache_v, mem_k, mem_v,
+    )
+
+    vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    hbm = (pl.ANY if jax.default_backend() == "cpu"
+           else pltpu.MemorySpace.HBM)
+    anyspace = lambda: pl.BlockSpec(memory_space=hbm)
+
+    def wspec(a):
+        # per-layer block of a stacked [nl, ...] weight: Pallas prefetches
+        # layer l+1's block during layer l (the overlap win of the grid)
+        shape = (1,) + a.shape[1:]
+        nd = len(a.shape) - 1
+        return pl.BlockSpec(shape, lambda l, _n=nd: (l,) + (0,) * _n)
+
+    in_specs = (
+        [pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [vmem() for _ in range(5)]
+        + [wspec(a) for a in stacked]
+        + [vmem(), vmem(), vmem()]
+        + [anyspace() for _ in range(4)]
+    )
+    out_shape = [
+        jax.ShapeDtypeStruct((BK, topk), f32),
+        jax.ShapeDtypeStruct((BK, topk), jnp.int32),
+    ]
+    out_specs = [vmem(), vmem()]
+    if gather:
+        out_shape.append(jax.ShapeDtypeStruct((BK, 1), f32))
+        out_specs.append(vmem())
+    out_shape += [
+        jax.ShapeDtypeStruct((nl, group, B, L, D), cdt),
+        jax.ShapeDtypeStruct((nl, group, B, L, D), cdt),
+    ]
+    out_specs += [anyspace(), anyspace()]
+    n_in = len(args)
+    outs = pl.pallas_call(
+        functools.partial(
+            _chain_kernel, n_head=n_head, group=group, bs=bs, blk=blk,
+            n_layers=nl, topk=topk, gather=gather, quant=quant),
+        grid=(nl,),
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
+        scratch_shapes=[
+            pltpu.VMEM((BK, D), f32),  # xs: hidden state across grid steps
+            pltpu.VMEM((2, group, B, blk, D), cdt),  # kbuf
+            pltpu.VMEM((2, group, B, blk, D), cdt),  # vbuf
+            pltpu.VMEM((2, B, bs, D), mdt),  # mem kbuf
+            pltpu.VMEM((2, B, bs, D), mdt),  # mem vbuf
+            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+        input_output_aliases={n_in - 4: 3 if gather else 2,
+                              n_in - 3: 4 if gather else 3},
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
+        interpret=jax.default_backend() == "cpu",
+    )(*args)
+    if gather:
+        sc, ids, glp, ck, cv = outs
+        return sc, ids, glp[:, 0], ck, cv
+    sc, ids, ck, cv = outs
+    return sc, ids, ck, cv
+
+
+# ---------------------------------------------------------------------------
 # 4. fused decode head: final LN -> output projection -> log_softmax -> top-k
 # ---------------------------------------------------------------------------
 

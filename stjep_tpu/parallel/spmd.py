@@ -274,6 +274,14 @@ def beam_search_flash_dp(params, cfg, enc_outputs, mem_mask_b, beam_width,
 
     mesh = kernel_mesh()
     if mesh is not None and not dp_only_mesh():
+        if weight_dtype is not None:
+            # same failure surface as infer.beam.beam_search's non-flash
+            # check: never silently decode f32 when int8 was requested
+            raise ValueError(
+                "weight_dtype={!r} is not supported under a tensor-parallel "
+                "mesh (the TP decode trio has no dequant path); drop "
+                "--weight_dtype or use a pure data-parallel mesh".format(
+                    weight_dtype))
         return beam_search_flash_tp(params, cfg, enc_outputs, mem_mask_b,
                                     beam_width, penalty_factor, max_seq_len,
                                     cache_dtype=cache_dtype)

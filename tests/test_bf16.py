@@ -100,6 +100,7 @@ def test_bf16_greedy_eval_runs(setup):
     assert out["preds_st"].shape == (2, cfg.max_seq_len_tgt)
 
 
+@pytest.mark.slow  # heavy integration: slow lane (r5 re-budget)
 def test_bf16_features_with_f32_params(setup):
     """bf16-STAGED features on an f32 checkpoint (translate/train
     --feat_dtype bfloat16 without --dtype bfloat16): the recurrences must

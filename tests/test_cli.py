@@ -60,6 +60,7 @@ def trained(corpus, tmp_path_factory):
     return corpus, latest
 
 
+@pytest.mark.slow  # heavy integration: slow lane (r5 re-budget)
 def test_train_cli_writes_config_and_ckpt(trained):
     corpus, latest = trained
     expt = os.path.dirname(os.path.dirname(latest))
@@ -70,6 +71,7 @@ def test_train_cli_writes_config_and_ckpt(trained):
     assert meta["model_config"]["mode"] == "ASR"
 
 
+@pytest.mark.slow  # heavy integration: slow lane (r5 re-budget)
 def test_translate_cli_mode1_asr(trained, tmp_path):
     corpus, latest = trained
     out = str(tmp_path / "eval")
@@ -170,6 +172,7 @@ def test_translate_pipeline_depths_and_fwd_cache(corpus, tmp_path):
     assert len(tr._FWD_CACHE) == 1  # one program, reused across calls
 
 
+@pytest.mark.slow  # heavy integration: slow lane (r5 re-budget)
 def test_translate_feat_dtype_int8_plumbing(corpus, tmp_path):
     """--feat_dtype int8 (quantize on the prefetch thread, dequantize
     inside the jitted decode) must produce EXACTLY the hypotheses of

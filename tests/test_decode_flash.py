@@ -319,3 +319,121 @@ def test_int8_weight_streaming_close_random():
         scale = float(jnp.max(jnp.abs(y_f)))
         err = float(jnp.max(jnp.abs(y_f - y_q)))
         assert err < 0.03 * scale, (t, err, scale)
+
+
+def test_chain_step_matches_per_layer():
+    """decode_chain_step_flash (all layers + head, ONE launch) vs the
+    per-layer decoder_layer_step_flash sequence + decode_head[_gather]:
+    same cores in the same order, so scores/ids/caches must agree to fp
+    noise and token picks exactly — f32 and int8-quantized arms, with and
+    without the gathered ref-logp output."""
+    import stjep_tpu.ops.decode_flash as df
+    from stjep_tpu.ops.transformer import layer_norm_init
+
+    rng = np.random.RandomState(23)
+    B, K, d_model, n_head, Lk, nl, V = 2, 3, 16, 4, 5, 2, 11
+    BK = B * K
+    L = BLOCK
+    Lk_pad = pad_len(Lk, CROSS_BLOCK)
+    layers = [
+        decoder_layer_init(jax.random.PRNGKey(10 + i), d_model, n_head,
+                           d_model * 2)
+        for i in range(nl)
+    ]
+    dec_params = {"layers": layers, "norm": layer_norm_init(d_model)}
+    out_params = {"w": jnp.asarray(
+        0.3 * rng.randn(d_model, V).astype(np.float32))}
+
+    mem = jnp.asarray(rng.randn(B, Lk, d_model).astype(np.float32))
+    mem_pad = jnp.pad(mem, ((0, 0), (0, Lk_pad - Lk), (0, 0)))
+    mem_mask_pad = jnp.pad(jnp.ones((B, Lk), bool),
+                           ((0, 0), (0, Lk_pad - Lk)))
+    mem_ks = [linear(lp["encdec_attn"]["w_ks"], mem_pad) for lp in layers]
+    mem_vs = [linear(lp["encdec_attn"]["w_vs"], mem_pad) for lp in layers]
+
+    for quantize, gather in [(False, False), (False, True), (True, False)]:
+        dp = dec_params
+        if quantize:
+            dp = dict(dec_params)
+            snap = np.random.RandomState(31)
+            dp["layers"] = [
+                {
+                    "decslf_attn": {**lp["decslf_attn"], **{
+                        k: _snap_leaf_to_int8_grid(snap, lp["decslf_attn"][k])
+                        for k in df.QUANT_SELF}},
+                    "encdec_attn": {**lp["encdec_attn"], **{
+                        k: _snap_leaf_to_int8_grid(snap, lp["encdec_attn"][k])
+                        for k in df.QUANT_CROSS}},
+                    "pos_ffn": {**lp["pos_ffn"], **{
+                        k: _snap_leaf_to_int8_grid(snap, lp["pos_ffn"][k])
+                        for k in df.QUANT_FFN}},
+                }
+                for lp in layers
+            ]
+            dp_q = dict(dp)
+            dp_q["layers"] = df.quantize_decoder_weights(
+                {"layers": dp["layers"]})["layers"]
+        stacked, got_quant = df.stack_decoder_layers(
+            dp_q if quantize else dp)
+        assert got_quant == quantize
+
+        # per-layer arm state (on-grid f32 weights when quantize=True:
+        # dequantization is lossless there, so the arms stay comparable)
+        pl_ck = [jnp.zeros((K, B, L, d_model)) for _ in range(nl)]
+        pl_cv = [jnp.zeros((K, B, L, d_model)) for _ in range(nl)]
+        ch_ck = jnp.zeros((nl, K, B, L, d_model))
+        ch_cv = jnp.zeros((nl, K, B, L, d_model))
+
+        anc = jnp.broadcast_to(
+            (jnp.arange(BK, dtype=jnp.int32) % K)[:, None], (BK, L))
+        own = (jnp.arange(BK, dtype=jnp.int32) % K)[:, None]
+        mask_k = jnp.asarray(rng.rand(BK, L) > 0.2)
+
+        for t in range(4):
+            x_t = jnp.asarray(rng.randn(BK, 1, d_model).astype(np.float32))
+            mk = mask_k.at[:, t].set(True)
+            anc = jax.lax.dynamic_update_slice(anc, own, (0, jnp.int32(t)))
+            gid = (jnp.asarray(rng.randint(0, V, size=(BK,)), jnp.int32)
+                   if gather else None)
+
+            y = x_t
+            for i in range(nl):
+                y, pl_ck[i], pl_cv[i] = decoder_layer_step_flash(
+                    dp["layers"][i], y, pl_ck[i], pl_cv[i],
+                    mem_ks[i], mem_vs[i], jnp.int32(t), n_head, anc.T, K,
+                    mem_mask_pad.T, mk.T)
+            if gather:
+                sc_a, id_a, glp_a = df.decode_head_gather(
+                    dp["norm"], out_params, y[:, 0], K, gid)
+            else:
+                sc_a, id_a = df.decode_head(
+                    dp["norm"], out_params, y[:, 0], K)
+
+            outs = df.decode_chain_step_flash(
+                stacked, quantize, dp["norm"], out_params, x_t,
+                ch_ck, ch_cv, jnp.stack(mem_ks), jnp.stack(mem_vs),
+                jnp.int32(t), n_head, anc.T, K, mem_mask_pad.T, mk.T,
+                K, gather_ids=gid)
+            if gather:
+                sc_b, id_b, glp_b, ch_ck, ch_cv = outs
+                np.testing.assert_allclose(_np(glp_a), _np(glp_b),
+                                           rtol=2e-5, atol=2e-6)
+            else:
+                sc_b, id_b, ch_ck, ch_cv = outs
+
+            np.testing.assert_array_equal(_np(id_a), _np(id_b),
+                                          err_msg=f"step {t}")
+            np.testing.assert_allclose(_np(sc_a), _np(sc_b),
+                                       rtol=2e-5, atol=2e-6,
+                                       err_msg=f"step {t}")
+            for i in range(nl):
+                np.testing.assert_allclose(
+                    _np(pl_ck[i]), _np(ch_ck[i]), rtol=2e-5, atol=2e-6)
+                np.testing.assert_allclose(
+                    _np(pl_cv[i]), _np(ch_cv[i]), rtol=2e-5, atol=2e-6)
+
+            r_in = rng.randint(0, K, size=(BK,))
+            r_idx = jnp.asarray((np.arange(BK) // K) * K + r_in,
+                                dtype=jnp.int32)
+            anc = anc[r_idx]
+            mask_k = mk[r_idx]

@@ -47,6 +47,7 @@ def _host_pick(logps, refs):
     return np.take_along_axis(lp, tgt[:, :, None], axis=2)[:, :, 0]
 
 
+@pytest.mark.slow  # heavy integration: slow lane (r5 re-budget)
 def test_picked_matches_host_gather_asr_st():
     cfg = _mk("ASR_ST")
     params = init_seq2seq(jax.random.PRNGKey(0), cfg)

@@ -126,6 +126,7 @@ def test_int8_staged_loss_matches_f32(corpus, tmp_path):
         assert abs(got - ref) <= 0.02 * abs(ref) + 1e-3, (k, got, ref)
 
 
+@pytest.mark.slow  # heavy integration: slow lane (r5 re-budget)
 def test_int8_staged_training_runs(corpus, tmp_path):
     ds = _dataset(corpus)
     cfg = _cfg(corpus)
@@ -141,6 +142,7 @@ def test_int8_staged_training_runs(corpus, tmp_path):
         assert np.isfinite(float(v))
 
 
+@pytest.mark.slow  # heavy integration: slow lane (r5 re-budget)
 def test_device_cache_matches_direct_staging(corpus, tmp_path):
     cfg = _cfg(corpus)
     outs = {}
@@ -218,6 +220,7 @@ def test_auto_cache_budget_env_override(monkeypatch):
     assert hbm_cache_budget() > 0
 
 
+@pytest.mark.slow  # heavy integration: slow lane (r5 re-budget)
 def test_auto_cache_enables_when_fits(corpus, tmp_path, monkeypatch):
     """device_cache='auto' (the default) + a corpus inside the budget ->
     the cache is built (replicated across the active 8-device virtual
@@ -236,6 +239,7 @@ def test_auto_cache_enables_when_fits(corpus, tmp_path, monkeypatch):
         assert np.isfinite(float(v))
 
 
+@pytest.mark.slow  # heavy integration: slow lane (r5 re-budget)
 def test_auto_cache_disables_when_too_big(corpus, tmp_path, monkeypatch):
     """Zero budget -> auto decides per-step staging; training still runs."""
     monkeypatch.setenv("STJEP_CACHE_BUDGET_MB", "0")

@@ -151,6 +151,7 @@ def _las_setup():
     return cfg, params["las"], feats, lens, src
 
 
+@pytest.mark.slow  # heavy integration: slow lane (r5 re-budget)
 def test_teacher_forcing_ratio_extremes_match_static_bool():
     from stjep_tpu.models.las import las_forward
 
@@ -165,6 +166,7 @@ def test_teacher_forcing_ratio_extremes_match_static_bool():
             np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
 
 
+@pytest.mark.slow  # heavy integration: slow lane (r5 re-budget)
 def test_teacher_forcing_ratio_stochastic_selects_a_branch():
     from stjep_tpu.models.las import las_forward
 
@@ -195,6 +197,7 @@ def test_teacher_forcing_ratio_stochastic_selects_a_branch():
     assert seen == {"tf", "fr"}, seen
 
 
+@pytest.mark.slow  # heavy integration: slow lane (r5 re-budget)
 def test_share_embedder_ties_gradients():
     """The reference aliases enc_embedder = dec_embedder — ONE parameter
     receiving the summed gradient (ref: Seq2seq.py:119-121). Pytrees can't

@@ -265,6 +265,7 @@ def test_lm_fuse_plumbed_into_st_translate():
     assert not np.array_equal(fused_st, base)
 
 
+@pytest.mark.slow  # heavy integration: slow lane (r5 re-budget)
 def test_lm_fuse_in_forward_eval_asr():
     """forward_eval accepts lm_fuse like the reference's lm_mode/lm_model
     (ref: Seq2seq.py:548): the fused greedy ASR hypotheses differ under a
@@ -297,6 +298,7 @@ def test_lm_fuse_in_forward_eval_asr():
                               np.asarray(fused["preds_asr"]))
 
 
+@pytest.mark.slow  # heavy integration: slow lane (r5 re-budget)
 def test_lm_fuse_in_refen_asr_translate():
     """refen ASR passes lm_fuse into the teacher-forced LAS like the
     reference (ref: Seq2seq.py:816): emitted symbols are fused though the

@@ -154,12 +154,14 @@ def test_trainer_step_on_mesh_matches_single_device(tmp_path):
                 rtol=1e-5, atol=1e-6, err_msg=str(p))
 
 
+@pytest.mark.slow  # heavy integration: slow lane (r5 re-budget)
 def test_dryrun_multichip_entrypoint():
     import __graft_entry__ as g
 
     g.dryrun_multichip(8)
 
 
+@pytest.mark.slow  # heavy integration: slow lane (r5 re-budget)
 def test_graft_entry_compiles():
     import __graft_entry__ as g
 

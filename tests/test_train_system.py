@@ -156,6 +156,7 @@ def test_load_mode_asr_partial_policy():
             assert not trainable
 
 
+@pytest.mark.slow  # heavy integration: slow lane (r5 re-budget)
 def test_tiny_asr_training_loss_drops(tmp_path):
     corpus = make_corpus(str(tmp_path / "data"), n_sent=16)
     ds = Dataset(

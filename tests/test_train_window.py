@@ -66,9 +66,10 @@ def _trainer(tmp_path, name, **kw):
 
 @pytest.mark.parametrize(
     "dropout",
-    [0.0,
-     # RNG-sequence arm: slow lane (the window executor is default-off;
-     # the dropout=0.0 arm keeps the core equality in the default lane)
+    [
+     # slow lane both arms: the window executor is default-off and its
+     # core equality is re-checked by every slow-lane run (r5 re-budget)
+     pytest.param(0.0, marks=pytest.mark.slow),
      pytest.param(0.2, marks=pytest.mark.slow)])
 def test_window_matches_single_step(corpus, tmp_path, dropout):
     """2 epochs x 4 steps with train_window=4 == the single-step path,

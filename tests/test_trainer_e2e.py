@@ -72,8 +72,10 @@ def test_trainer_asr_full_loop(corpus, tmp_path):
 
 
 @pytest.mark.parametrize("mode,cls,key", [
-    ("MT", Trainer_MT, "mt"),
-    ("ST", Trainer_ST, "st"),
+    # MT/ST arms: slow lane (r5 re-budget); the joint ASR_ST arm keeps the
+    # flagship trainer smoke in the default lane
+    pytest.param("MT", Trainer_MT, "mt", marks=pytest.mark.slow),
+    pytest.param("ST", Trainer_ST, "st", marks=pytest.mark.slow),
     ("ASR_ST", Trainer_ASR_ST, "st"),
 ])
 def test_trainer_modes_run(corpus, tmp_path, mode, cls, key):
@@ -91,6 +93,7 @@ def test_trainer_modes_run(corpus, tmp_path, mode, cls, key):
     assert params is not None
 
 
+@pytest.mark.slow  # heavy integration: slow lane (r5 re-budget)
 def test_trainer_resume(corpus, tmp_path):
     ds = _dataset(corpus, "ASR", with_tgt=False)
     cfg = _cfg(corpus, "ASR")
