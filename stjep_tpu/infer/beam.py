@@ -217,6 +217,22 @@ class FlashBeamState(NamedTuple):
     cache: TFDecCache  # head-merged flash layout, never reordered
 
 
+class _MegaState(NamedTuple):
+    """Carry of the single-launch beam megastep (ops/decode_flash.
+    decode_beam_step_flash): kernel-friendly layouts so the while body is
+    exactly one pallas_call plus carry threading."""
+    i: jnp.ndarray
+    preds: jnp.ndarray  # [B*K, Lbuf] i32
+    anc: jnp.ndarray  # [Lbuf, B*K] i32
+    maskk: jnp.ndarray  # [Lbuf, B*K] i32 == (preds != PAD).T
+    last_tok: jnp.ndarray  # [B*K, 1] i32
+    scores: jnp.ndarray  # [B*K, 1] f32
+    eos: jnp.ndarray  # [B*K, 1] i32
+    lenm: jnp.ndarray  # [B*K, 1] f32
+    flag: jnp.ndarray  # [1, 1] i32 all-EOS
+    cache: TFDecCache
+
+
 def _beam_search_flash(
     params: Dict,
     cfg: ModelConfig,
@@ -338,6 +354,64 @@ def _beam_search_flash(
     scores = state.scores + score_sel
     preds1 = state.preds.at[:, 1].set(pred_sel)
     state = finish_step(state, pred_sel, scores, preds1, state.anc, cache1)
+
+    # beam megastep: the whole while body (embed -> layers -> head ->
+    # k^2->k bookkeeping) in ONE pallas launch — at B=1 the inter-launch
+    # XLA glue dominates the step. Gated to chain mode, no dec-side
+    # embedding projection (the in-kernel one-hot lookup IS nn.Embedding),
+    # and a VMEM-friendly target table (char-level vocabs; big word-level
+    # tables would be re-streamed every launch).
+    from stjep_tpu.ops.decode_flash import (
+        decode_beam_step_flash,
+        stack_decoder_layers,
+    )
+    from stjep_tpu.models.seq2seq import _dec_embedder
+
+    emb_table = _dec_embedder(params, cfg)
+    use_mega = (use_chain and not cfg.dec_emb_proj_flag
+                and emb_table.size * 4 <= 4 * 1024 * 1024)
+    if use_mega:
+        from stjep_tpu.ops.masks import position_signal
+
+        stacked, quant = stack_decoder_layers(params["dec_tgt"])
+        tsig = position_signal(max_time, cfg.dim_model)[0]
+        mm_i = mem_mask_t.astype(jnp.int32)
+
+        ms = _MegaState(
+            i=state.i,
+            preds=state.preds,
+            anc=state.anc,
+            maskk=(state.preds != PAD).T.astype(jnp.int32),
+            last_tok=pred_sel[:, None].astype(jnp.int32),
+            scores=state.scores[:, None],
+            eos=state.eos_mask[:, None].astype(jnp.int32),
+            lenm=state.len_map[:, None],
+            flag=jnp.min(state.eos_mask.astype(jnp.int32)).reshape(1, 1),
+            cache=state.cache,
+        )
+
+        def mcond(s: _MegaState):
+            return (s.i < max_seq_len) & (s.flag[0, 0] == 0)
+
+        def mbody(s: _MegaState):
+            (preds_n, anc_n, maskk_n, tok_n, sc_n, eos_n, lenm_n, flag_n,
+             ck, cv) = decode_beam_step_flash(
+                stacked, quant, params["dec_tgt"]["norm"],
+                params["out_tgt"], emb_table, tsig, s.i, s.last_tok,
+                s.preds, s.anc, s.maskk, mm_i, s.scores, s.eos, s.lenm,
+                s.cache.self_k, s.cache.self_v,
+                s.cache.mem_k, s.cache.mem_v,
+                cfg.num_heads, K, penalty_factor)
+            return _MegaState(
+                i=s.i + 1, preds=preds_n, anc=anc_n, maskk=maskk_n,
+                last_tok=tok_n, scores=sc_n, eos=eos_n, lenm=lenm_n,
+                flag=flag_n,
+                cache=s.cache._replace(self_k=ck, self_v=cv))
+
+        mfinal = jax.lax.while_loop(mcond, mbody, ms)
+        preds_out = mfinal.preds.reshape(B, K, Lbuf)[:, 0, :max_seq_len]
+        scores_out = mfinal.scores[:, 0].reshape(B, K)[:, 0]
+        return preds_out, scores_out
 
     def cond(s: FlashBeamState):
         return (s.i < max_seq_len) & (~jnp.all(s.eos_mask))

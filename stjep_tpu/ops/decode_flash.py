@@ -60,18 +60,32 @@ from typing import Dict, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
+from stjep_tpu.config import EOS as EOS_ID
+from stjep_tpu.config import PAD as PAD_ID
+
 BLOCK = 16  # max self-cache positions streamed per DMA; Lpad is a multiple
 CROSS_BLOCK = 32  # max memory positions streamed per DMA in cross-attention
 
 
-def stream_blocks(n_rows: int, d_model: int = 512, itemsize: int = 4):
+def stream_blocks(n_rows: int, d_model: int = 512, itemsize: int = 4,
+                  max_len: int = 0):
     """Per-call stream block sizes (self, cross), chosen against a VMEM
     byte budget: ~10 [n_rows, blk, D]-sized temporaries (K/V selects,
     products, probs) live at once in the attention kernels, so big batches
     halve the block — but bf16 caches keep full-size blocks at serving
-    batch sizes where f32 must shrink."""
+    batch sizes where f32 must shrink.
+
+    max_len > 0 enables LATENCY mode: when the whole streamed length fits
+    the budget (small serving batches), both blocks grow to max_len so the
+    K/V stream is ONE DMA — at B=1 the per-step cost is dominated by the
+    ~10 dependent block-wait latencies per layer, not bandwidth. Callers
+    pass the length the returned block must divide (it returns max_len
+    itself, and L % L == 0)."""
     blk, bs = BLOCK, CROSS_BLOCK
     budget = 56 * 1024 * 1024
+    if (max_len and max_len % 8 == 0
+            and 10 * n_rows * max_len * d_model * itemsize <= budget):
+        return max_len, max_len
     while blk > 4 and 10 * n_rows * blk * d_model * itemsize > budget:
         blk //= 2
         bs //= 2
@@ -287,13 +301,19 @@ def _self_core(pos, x, anc_ref, maskk_ref,
 
     # ---- persist the new K/V row: the last block's VMEM buffer already
     # holds the loaded contents with the new row injected at `pos`, so the
-    # flush is a verbatim DMA of that buffer back to the cache.
+    # flush is a verbatim DMA of that buffer back to the cache — restricted
+    # to the BLOCK-row window containing `pos` so latency-mode whole-length
+    # read blocks (stream_blocks max_len) don't multiply write traffic.
     slot_last = jax.lax.rem(last, 2)
+    wblk = min(blk, BLOCK)
+    sub = (pos - last * blk) // wblk * wblk  # wblk-aligned, inside the block
     fk = pltpu.make_async_copy(
-        kbuf.at[slot_last], ck_out.at[:, :, pl.ds(last * blk, blk), :],
+        kbuf.at[slot_last, :, :, pl.ds(sub, wblk), :],
+        ck_out.at[:, :, pl.ds(last * blk + sub, wblk), :],
         sem_wr.at[0])
     fv = pltpu.make_async_copy(
-        vbuf.at[slot_last], cv_out.at[:, :, pl.ds(last * blk, blk), :],
+        vbuf.at[slot_last, :, :, pl.ds(sub, wblk), :],
+        cv_out.at[:, :, pl.ds(last * blk + sub, wblk), :],
         sem_wr.at[1])
     fk.start()
     fv.start()
@@ -346,7 +366,8 @@ def self_attn_step(
     L = cache_k.shape[2]
     assert cache_k.shape[:2] == (group, BK // group)
     assert cache_k.shape[3] == Dq
-    blk, _ = stream_blocks(BK, D, jnp.dtype(cache_k.dtype).itemsize)
+    blk, _ = stream_blocks(BK, D, jnp.dtype(cache_k.dtype).itemsize,
+                           max_len=L)
     assert anc.shape == (L, BK) and mask_k.shape == (L, BK)
     assert L % blk == 0, f"cache length {L} not a multiple of {blk}"
     f32 = jnp.float32
@@ -527,7 +548,8 @@ def cross_attn_step(
     BK, _, D = x_new.shape
     B, Lk, Dq = mem_k.shape
     if not bs:
-        _, bs = stream_blocks(BK, D, jnp.dtype(mem_k.dtype).itemsize)
+        _, bs = stream_blocks(BK, D, jnp.dtype(mem_k.dtype).itemsize,
+                              max_len=Lk)
     assert Lk % bs == 0, f"memory length {Lk} not a multiple of {bs}"
     f32 = jnp.float32
     mdt = mem_k.dtype
@@ -752,8 +774,10 @@ def decoder_layer_step_flash(
     # block sizes follow each stream's own dtype (like the standalone
     # self_attn_step/cross_attn_step wrappers) so an f32 memory alongside
     # bf16 self caches keeps the memory scratch inside the VMEM budget
-    blk, _ = stream_blocks(BK, D, jnp.dtype(cache_k.dtype).itemsize)
-    _, bs = stream_blocks(BK, D, jnp.dtype(mem_k.dtype).itemsize)
+    blk, _ = stream_blocks(BK, D, jnp.dtype(cache_k.dtype).itemsize,
+                           max_len=L)
+    _, bs = stream_blocks(BK, D, jnp.dtype(mem_k.dtype).itemsize,
+                          max_len=Lk)
     assert cache_k.shape[:2] == (group, B) and BK == B * group
     assert anc.shape == (L, BK) and self_mask_k.shape == (L, BK)
     assert mem_mask.shape == (Lk, B)
@@ -947,6 +971,43 @@ def chain_supported(cfg) -> bool:
     return flash_supported(cfg.dim_model)
 
 
+def _chain_unpack(wrefs, quant: bool):
+    """Blocked stacked weights arrive as [1, ...] VMEM tiles; [0] drops the
+    layer dim (the cores accept plain arrays — `arr[:]` is the array)."""
+    w = [r[0] for r in wrefs]
+    f32 = jnp.float32
+    if quant:
+        dq = lambda i: w[i].astype(f32) * w[i + 1]
+        return (w[0], w[1], dq(2), dq(4), dq(6), dq(8),
+                w[10], w[11], dq(12), dq(14),
+                w[16], w[17], dq(18), w[20], dq(21), w[23])
+    return tuple(w)
+
+
+def _head_topk(x, lns_ref, lnb_ref, hw_ref, topk: int):
+    """Final LN (eps 1e-5) -> out proj -> log_softmax -> iterative top-k
+    (identical ordering to jax.lax.top_k). Returns (sc [BK, topk] f32,
+    ids [BK, topk] i32) as VALUES (shared by the chain and beam kernels)."""
+    f32 = jnp.float32
+    xn = _ln(x, lns_ref[:], lnb_ref[:], eps=1e-5)  # torch default eps
+    logits = jnp.dot(xn, hw_ref[:], preferred_element_type=f32)
+    BK, V = logits.shape
+    mx = jnp.max(logits, axis=-1)
+    se = jnp.sum(jnp.exp(logits - mx[:, None]), axis=-1)
+    lse = mx + jnp.log(se)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (BK, V), 1)
+    cur = logits
+    scs, ids = [], []
+    for _k in range(topk):
+        mk = jnp.max(cur, axis=-1)
+        amk = jnp.min(jnp.where(cur == mk[:, None], iota, V), axis=-1)
+        scs.append((mk - lse)[:, None])
+        ids.append(amk[:, None].astype(jnp.int32))
+        cur = jnp.where(iota == amk[:, None], -1e30, cur)
+    return (jnp.concatenate(scs, axis=1), jnp.concatenate(ids, axis=1),
+            logits, lse)
+
+
 def _chain_kernel(pos_ref, x_ref, anc_ref, maskk_ref, memmask_ref, gid_ref,
                   *rest,
                   n_head: int, group: int, bs: int, blk: int,
@@ -972,22 +1033,9 @@ def _chain_kernel(pos_ref, x_ref, anc_ref, maskk_ref, memmask_ref, gid_ref,
     def _():
         xs[:] = x_ref[:]
 
-    # blocked stacked weights arrive as [1, ...] VMEM tiles; [0] drops the
-    # layer dim (the cores accept plain arrays — `arr[:]` is the array)
-    w = [r[0] for r in wrefs]
-    if quant:
-        dq = lambda i: w[i].astype(f32) * w[i + 1]
-        slns, slnb = w[0], w[1]
-        swq, swk, swv, swo = dq(2), dq(4), dq(6), dq(8)
-        clns, clnb = w[10], w[11]
-        cwq, cwo = dq(12), dq(14)
-        flns, flnb = w[16], w[17]
-        w1, b1 = dq(18), w[20]
-        w2, b2 = dq(21), w[23]
-    else:
-        (slns, slnb, swq, swk, swv, swo,
-         clns, clnb, cwq, cwo,
-         flns, flnb, w1, b1, w2, b2) = w
+    (slns, slnb, swq, swk, swv, swo,
+     clns, clnb, cwq, cwo,
+     flns, flnb, w1, b1, w2, b2) = _chain_unpack(wrefs, quant)
 
     y = _self_core(
         pos_ref[0], xs[:], anc_ref, maskk_ref,
@@ -1003,24 +1051,12 @@ def _chain_kernel(pos_ref, x_ref, anc_ref, maskk_ref, memmask_ref, gid_ref,
 
     @pl.when(lyr == n_layers - 1)
     def _head():
-        x = _ln(y, hlns_ref[:], hlnb_ref[:], eps=1e-5)  # torch default eps
-        logits = jnp.dot(x, hw_ref[:], preferred_element_type=f32)
-        BK, V = logits.shape
-        mx = jnp.max(logits, axis=-1)
-        se = jnp.sum(jnp.exp(logits - mx[:, None]), axis=-1)
-        lse = mx + jnp.log(se)
-        iota = jax.lax.broadcasted_iota(jnp.int32, (BK, V), 1)
-        cur = logits
-        scs, ids = [], []
-        for _k in range(topk):
-            mk = jnp.max(cur, axis=-1)
-            amk = jnp.min(jnp.where(cur == mk[:, None], iota, V), axis=-1)
-            scs.append((mk - lse)[:, None])
-            ids.append(amk[:, None].astype(jnp.int32))
-            cur = jnp.where(iota == amk[:, None], -1e30, cur)
-        sc_ref[:] = jnp.concatenate(scs, axis=1)
-        id_ref[:] = jnp.concatenate(ids, axis=1)
+        sc, ids, logits, lse = _head_topk(y, hlns_ref, hlnb_ref, hw_ref, topk)
+        sc_ref[:] = sc
+        id_ref[:] = ids
         if gather:
+            BK, V = logits.shape
+            iota = jax.lax.broadcasted_iota(jnp.int32, (BK, V), 1)
             gid = gid_ref[:, 0][:, None]
             glog = jnp.sum(jnp.where(iota == gid, logits, 0.0), axis=-1)
             glp_ref[:] = (glog - lse)[:, None]
@@ -1056,8 +1092,10 @@ def decode_chain_step_flash(
     BK, _, D = x_new.shape
     nl, _, B, L, _ = cache_k.shape
     Lk = mem_k.shape[2]
-    blk, _ = stream_blocks(BK, D, jnp.dtype(cache_k.dtype).itemsize)
-    _, bs = stream_blocks(BK, D, jnp.dtype(mem_k.dtype).itemsize)
+    blk, _ = stream_blocks(BK, D, jnp.dtype(cache_k.dtype).itemsize,
+                           max_len=L)
+    _, bs = stream_blocks(BK, D, jnp.dtype(mem_k.dtype).itemsize,
+                          max_len=Lk)
     assert cache_k.shape[1] == group and BK == B * group
     assert anc.shape == (L, BK) and self_mask_k.shape == (L, BK)
     assert mem_mask.shape == (Lk, B)
@@ -1142,6 +1180,321 @@ def decode_chain_step_flash(
         return sc, ids, glp[:, 0], ck, cv
     sc, ids, ck, cv = outs
     return sc, ids, ck, cv
+
+
+# ---------------------------------------------------------------------------
+# 3c. beam megastep: the ENTIRE while-loop body in one launch
+# ---------------------------------------------------------------------------
+#
+# After the chained layer+head kernel, the remaining per-step cost at B=1 is
+# the XLA glue between launches: token embed, the k^2->k top-k select, EOS
+# freezing, the prefix/ancestry back-copies — ~8 small fusions, each paying
+# launch overhead that dwarfs its work at beam-decode sizes. This kernel
+# absorbs all of it: one launch per decode position runs embed -> all
+# layers -> head -> beam bookkeeping, and the XLA while_loop only threads
+# the carry and reads a one-element all-EOS flag.
+#
+# Beam semantics are the literal transcription of infer/beam.py's body()
+# (itself pinned line-identical to ref models/Seq2seq.py:337-393):
+# reshape-free — Mosaic rejects the [BK,K]->[B,K*K] lane reshape — so the
+# K^2 candidates live as K row-extracted [B, K] tiles (0/1 row-select
+# matmuls, exact), top-k is the same iterative first-max extraction as the
+# head (lowest-flat-index ties, identical to jax.lax.top_k over the
+# flattened [B, K*K]), and the gathers are one-hot matmuls (sums with one
+# nonzero term — bit-exact). Column->row vector moves use a [1,1] ones
+# matmul (the Mosaic-safe transpose).
+
+
+def _row_of(v):
+    """[N, 1] f32 -> [1, N] via a ones-matmul (Mosaic-safe transpose)."""
+    ones = jnp.ones((1, 1), jnp.float32)
+    return jax.lax.dot_general(
+        ones, v, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
+def _beam_step_kernel(i_ref, tok_ref, preds_in, anc_in, maskk_in,
+                      memmask_ref, scores_in, eos_in, lenm_in,
+                      emb_ref, tsig_ref,
+                      *rest,
+                      n_head: int, group: int, bs: int, blk: int,
+                      n_layers: int, quant: bool, pf: float,
+                      eos_id: int, pad_id: int):
+    from jax.experimental import pallas as pl
+
+    n_w = len(CHAIN_KEYS_Q8 if quant else CHAIN_KEYS_F32)
+    wrefs = rest[:n_w]
+    (hlns_ref, hlnb_ref, hw_ref, ck_in, cv_in, mk_hbm, mv_hbm,
+     preds_out, anc_out, maskk_out, tok_out, scores_out, eos_out,
+     lenm_out, flag_out, ck_out, cv_out,
+     xs, anc_s,
+     kbuf, vbuf, mkbuf, mvbuf, sem_self, sem_wr, sem_cross) = rest[n_w:]
+
+    lyr = pl.program_id(0)
+    f32 = jnp.float32
+    i32 = jnp.int32
+    K = group
+    BK = preds_in.shape[0]
+    B = BK // K
+    L = anc_in.shape[0]
+    i_cur = i_ref[0]
+    pos = i_cur - 1
+
+    @pl.when(lyr == 0)
+    def _embed():
+        # ancestry row `pos`: each row's own group index (the K/V written
+        # this step lives in the row itself — beam.py body() dus)
+        rowi = jax.lax.broadcasted_iota(i32, (L, BK), 0)
+        own = jax.lax.broadcasted_iota(i32, (L, BK), 1) % K
+        anc_s[:] = jnp.where(rowi == pos, own, anc_in[:])
+        # token embed: one-hot MXU lookup (exact), PAD row zeroed
+        tok = tok_ref[:]  # [BK, 1]
+        V = emb_ref.shape[0]
+        vio = jax.lax.broadcasted_iota(i32, (BK, V), 1)
+        oh = (vio == tok).astype(f32)
+        emb = jnp.dot(oh, emb_ref[:], preferred_element_type=f32)
+        emb = emb * (tok != pad_id).astype(f32)
+        sig = tsig_ref[pl.ds(pos, 1), :]  # [1, D] dynamic sublane slice
+        xs[:] = emb + sig
+
+    (slns, slnb, swq, swk, swv, swo,
+     clns, clnb, cwq, cwo,
+     flns, flnb, w1, b1, w2, b2) = _chain_unpack(wrefs, quant)
+
+    y = _self_core(
+        pos, xs[:], anc_s, maskk_in,
+        slns, slnb, swq, swk, swv, swo,
+        ck_out.at[lyr], cv_out.at[lyr], kbuf, vbuf,
+        sem_self, sem_wr, n_head, group, blk)
+    y = _cross_core(
+        y, memmask_ref, clns, clnb, cwq, cwo,
+        mk_hbm.at[lyr], mv_hbm.at[lyr], mkbuf, mvbuf, sem_cross,
+        n_head, group, bs)
+    y = _ffn_core(y, flns, flnb, w1, b1, w2, b2)
+    xs[:] = y
+
+    @pl.when(lyr == n_layers - 1)
+    def _bookkeep():
+        score_k, pred_k, _, _ = _head_topk(y, hlns_ref, hlnb_ref, hw_ref, K)
+        eosb = eos_in[:] > 0  # [BK, 1]
+        scores = scores_in[:]
+        lenm = lenm_in[:]
+        lp = lenm if pf == 1.0 else lenm ** pf
+
+        col = jax.lax.broadcasted_iota(i32, (BK, K), 1)
+        sm = jnp.where(eosb, 0.0, score_k)
+        sm = jnp.where((col >= 1) & eosb, -1e9, sm)
+        st = (scores + sm) / lp  # [BK, K]
+
+        # group-row extraction: cand[j][b, c] = st[b*K+j, c]
+        rows_b = jax.lax.broadcasted_iota(i32, (B, BK), 1)
+        bidx = jax.lax.broadcasted_iota(i32, (B, BK), 0)
+        pjs = [(rows_b == bidx * K + j).astype(f32) for j in range(K)]
+        cand = [jnp.dot(pj, st, preferred_element_type=f32) for pj in pjs]
+        predf = [jnp.dot(pj, pred_k.astype(f32),
+                         preferred_element_type=f32) for pj in pjs]
+
+        # iterative top-K over the K^2 candidates, flat index j*K + c
+        # (identical ordering/ties to lax.top_k over reshape(B, K*K))
+        cio = jax.lax.broadcasted_iota(i32, (B, K), 1)
+        KK = jnp.int32(K * K)
+        work = list(cand)
+        sel_sc, sel_flat = [], []
+        for _slot in range(K):
+            m = work[0]
+            for j in range(1, K):
+                m = jnp.maximum(m, work[j])
+            gmax = jnp.max(m, axis=1, keepdims=True)  # [B, 1]
+            flat = jnp.full((B, 1), KK, i32)
+            for j in range(K):
+                fj = jnp.min(
+                    jnp.where(work[j] == gmax, j * K + cio, KK),
+                    axis=1, keepdims=True)
+                flat = jnp.minimum(flat, fj)
+            sel_sc.append(gmax)
+            sel_flat.append(flat)
+            for j in range(K):
+                work[j] = jnp.where(j * K + cio == flat, -1e30, work[j])
+
+        # per-slot source row j and picked token
+        psel, jsel = [], []
+        for slot in range(K):
+            j_s = sel_flat[slot] // K
+            c_s = sel_flat[slot] % K
+            pv = jnp.zeros((B, 1), f32)
+            for j in range(K):
+                lane = jnp.sum(jnp.where(cio == c_s, predf[j], 0.0),
+                               axis=1, keepdims=True)
+                pv = jnp.where(j_s == j, lane, pv)
+            psel.append(pv)
+            jsel.append(j_s.astype(f32))
+
+        # regroup slot-major [B, 1] lists back to row-major [BK, 1]
+        srow = jax.lax.broadcasted_iota(i32, (BK, B), 0)
+        scol = jax.lax.broadcasted_iota(i32, (BK, B), 1)
+        expand = (srow // K == scol).astype(f32)  # [BK, B]
+        smod = jax.lax.broadcasted_iota(i32, (BK, 1), 0) % K
+
+        def regroup(slot_vals):
+            out = jnp.zeros((BK, 1), f32)
+            for k in range(K):
+                v = jnp.dot(expand, slot_vals[k],
+                            preferred_element_type=f32)
+                out = jnp.where(smod == k, v, out)
+            return out
+
+        score_sel = regroup(sel_sc)
+        pred_sel = regroup(psel)  # f32 token ids (exact)
+        j_sel = regroup(jsel)
+        iota_s = jax.lax.broadcasted_iota(i32, (BK, 1), 0)
+        src_row = (iota_s // K) * K + j_sel.astype(i32)  # [BK, 1]
+
+        # one-hot back-copy: R[s, q] = (q == src_row[s])
+        colq = jax.lax.broadcasted_iota(i32, (BK, BK), 1)
+        R = (colq == src_row).astype(f32)
+        ct = lambda a, b: jax.lax.dot_general(
+            a, b, (((1,), (1,)), ((), ())), preferred_element_type=f32)
+
+        preds_f = jnp.dot(R, preds_in[:].astype(f32),
+                          preferred_element_type=f32)  # [BK, Lbuf]
+        li = jax.lax.broadcasted_iota(i32, (BK, L), 1)
+        preds_f = jnp.where(li == i_cur, pred_sel, preds_f)
+        preds_out[:] = preds_f.astype(i32)
+
+        anc_g = ct(anc_s[:].astype(f32), R)  # [L, BK]: anc_s[:, src_row[s]]
+        anc_out[:] = anc_g.astype(i32)
+
+        notpad_row = _row_of((pred_sel != pad_id).astype(f32))  # [1, BK]
+        rowi = jax.lax.broadcasted_iota(i32, (L, BK), 0)
+        maskk_g = ct(maskk_in[:].astype(f32), R)
+        maskk_g = jnp.where(rowi == i_cur, notpad_row, maskk_g)
+        maskk_out[:] = maskk_g.astype(i32)
+
+        eos_new = eosb | (pred_sel == eos_id)
+        scores_out[:] = score_sel * lp
+        tok_out[:] = pred_sel.astype(i32)
+        eos_out[:] = eos_new.astype(i32)
+        lenm_out[:] = lenm + jnp.where(eos_new, 0.0, 1.0)
+        flag_out[:] = jnp.min(eos_new.astype(i32), axis=0, keepdims=True)
+
+
+def decode_beam_step_flash(
+    stacked: Tuple[jnp.ndarray, ...],
+    quant: bool,
+    norm_params: Dict,
+    out_params: Dict,
+    emb_table: jnp.ndarray,  # [V_dec, D] target embedding table
+    time_sig: jnp.ndarray,  # [max_time, D] positional table
+    i: jnp.ndarray,  # current write position (>= 2 in the loop)
+    last_tok: jnp.ndarray,  # [BK, 1] i32 token emitted at i-1
+    preds: jnp.ndarray,  # [BK, Lbuf] i32
+    anc: jnp.ndarray,  # [Lbuf, BK] i32
+    maskk: jnp.ndarray,  # [Lbuf, BK] i32 (== (preds != PAD).T)
+    mem_mask: jnp.ndarray,  # [Lk_pad, B] i32
+    scores: jnp.ndarray,  # [BK, 1] f32
+    eos: jnp.ndarray,  # [BK, 1] i32
+    lenm: jnp.ndarray,  # [BK, 1] f32
+    cache_k: jnp.ndarray,  # [nl, group, B, Lpad, D]
+    cache_v: jnp.ndarray,
+    mem_k: jnp.ndarray,  # [nl, B, Lk_pad, D]
+    mem_v: jnp.ndarray,
+    n_head: int,
+    group: int,
+    penalty_factor: float,
+):
+    """One launch per beam position: embed -> layers -> head -> k^2->k
+    bookkeeping. Returns (preds, anc, maskk, last_tok, scores, eos, lenm,
+    all_eos_flag [1,1], cache_k, cache_v)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    BK, L = preds.shape
+    nl, _, B, Lc, D = cache_k.shape
+    Lk = mem_k.shape[2]
+    blk, _ = stream_blocks(BK, D, jnp.dtype(cache_k.dtype).itemsize,
+                           max_len=Lc)
+    _, bs = stream_blocks(BK, D, jnp.dtype(mem_k.dtype).itemsize,
+                          max_len=Lk)
+    assert L == Lc and BK == B * group
+    assert anc.shape == (L, BK) and maskk.shape == (L, BK)
+    f32 = jnp.float32
+    i32 = jnp.int32
+    cdt = cache_k.dtype
+    mdt = mem_k.dtype
+
+    args = (
+        jnp.asarray(i, i32).reshape(1),
+        last_tok.astype(i32),
+        preds.astype(i32),
+        anc.astype(i32),
+        maskk.astype(i32),
+        mem_mask.astype(i32),
+        scores.astype(f32),
+        eos.astype(i32),
+        lenm.astype(f32),
+        emb_table.astype(f32),
+        time_sig.astype(f32),
+    ) + tuple(stacked) + (
+        norm_params["scale"], norm_params["bias"], out_params["w"],
+        cache_k, cache_v, mem_k, mem_v,
+    )
+
+    vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    hbm = (pl.ANY if jax.default_backend() == "cpu"
+           else pltpu.MemorySpace.HBM)
+    anyspace = lambda: pl.BlockSpec(memory_space=hbm)
+
+    def wspec(a):
+        shape = (1,) + a.shape[1:]
+        nd = len(a.shape) - 1
+        return pl.BlockSpec(shape, lambda l, _n=nd: (l,) + (0,) * _n)
+
+    in_specs = (
+        [pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [vmem() for _ in range(10)]
+        + [wspec(a) for a in stacked]
+        + [vmem(), vmem(), vmem()]
+        + [anyspace() for _ in range(4)]
+    )
+    out_shape = (
+        jax.ShapeDtypeStruct((BK, L), i32),  # preds
+        jax.ShapeDtypeStruct((L, BK), i32),  # anc
+        jax.ShapeDtypeStruct((L, BK), i32),  # maskk
+        jax.ShapeDtypeStruct((BK, 1), i32),  # last_tok
+        jax.ShapeDtypeStruct((BK, 1), f32),  # scores
+        jax.ShapeDtypeStruct((BK, 1), i32),  # eos
+        jax.ShapeDtypeStruct((BK, 1), f32),  # lenm
+        jax.ShapeDtypeStruct((1, 1), i32),  # all-EOS flag
+        jax.ShapeDtypeStruct((nl, group, B, L, D), cdt),
+        jax.ShapeDtypeStruct((nl, group, B, L, D), cdt),
+    )
+    out_specs = tuple([vmem()] * 8 + [anyspace(), anyspace()])
+    n_in = len(args)
+    outs = pl.pallas_call(
+        functools.partial(
+            _beam_step_kernel, n_head=n_head, group=group, bs=bs, blk=blk,
+            n_layers=nl, quant=quant, pf=float(penalty_factor),
+            eos_id=EOS_ID, pad_id=PAD_ID),
+        grid=(nl,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((BK, D), f32),  # xs
+            pltpu.VMEM((L, BK), i32),  # anc_s (row `pos` updated)
+            pltpu.VMEM((2, group, B, blk, D), cdt),
+            pltpu.VMEM((2, group, B, blk, D), cdt),
+            pltpu.VMEM((2, B, bs, D), mdt),
+            pltpu.VMEM((2, B, bs, D), mdt),
+            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+        input_output_aliases={n_in - 4: 8, n_in - 3: 9},
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
+        interpret=jax.default_backend() == "cpu",
+    )(*args)
+    return outs
 
 
 # ---------------------------------------------------------------------------

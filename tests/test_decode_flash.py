@@ -189,7 +189,7 @@ def test_flash_layer_step_small_blocks(monkeypatch):
     outs = []
     for blocks in [(BLOCK, CROSS_BLOCK), (BLOCK // 2, CROSS_BLOCK // 2)]:
         monkeypatch.setattr(df, "stream_blocks",
-                            lambda n, d=512, i=4, b=blocks: b)
+                            lambda n, d=512, i=4, b=blocks, **kw: b)
         fck = jnp.zeros((K, B, L, d_model))
         fcv = jnp.zeros((K, B, L, d_model))
         ys = []
