@@ -208,9 +208,9 @@ def bench_tpu(train_iters: int = 10, train_repeats: int = 3):
     def train_step(params, opt_state, feats, lens, src, tgt, rng):
         def loss_fn(p):
             o = forward_train(p, cfg, "ASR_ST", src, tgt=tgt, acous_feats=feats,
-                              acous_lens=lens, rng=rng, is_training=True)
-            la = -jnp.mean(jnp.take_along_axis(
-                o["logps_asr"], src[:, 1:, None], axis=2))
+                              acous_lens=lens, rng=rng, is_training=True,
+                              ref_pick=True)
+            la = -jnp.mean(o["picked_asr"])  # == NLL at the ref src tokens
             ld = -jnp.mean(jnp.take_along_axis(
                 o["logps_st"][:, :-1], tgt[:, 1:, None], axis=2))
             return la + ld
@@ -273,20 +273,71 @@ def bench_tpu(train_iters: int = 10, train_repeats: int = 3):
                                   (feats32, lens32, src32, tgt32))
     params32 = opt_state32 = None  # donated
 
+    # ---- bf16 batch-32 (the recipe throughput point: ROADMAP Next #1/#2)
+    feats32h = feats32.astype(jnp.bfloat16)
+    params32h = init_seq2seq(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
+    opt_state32h = set_lr(tx.init(params32h), 1e-4)
+    step32h = jax.jit(train_step, donate_argnums=(0, 1))
+    step_b32h_per_s = _timed_train(step32h, params32h, opt_state32h,
+                                   (feats32h, lens32, src32, tgt32))
+    params32h = opt_state32h = None  # donated
+
+    # ---- bf16 batch-32 through the 8-step window executor (the trainer's
+    # --train_window surface): ONE dispatch per 8 steps. The device-side
+    # step is ~27 ms (benchmarks/train_profile_b32.json) while a single
+    # dispatched call adds 3-8 ms of host/tunnel dispatch on this 1-CPU
+    # host — the window amortises it to <1 ms/step.
+    WIN = 8
+
+    def win_step(params, opt_state, feats, lens, src, tgt, rngs):
+        def body(c, k):
+            p, o = c
+            p, o, l = train_step(p, o, feats, lens, src, tgt, k)
+            return (p, o), l
+
+        (params, opt_state), ls = jax.lax.scan(
+            body, (params, opt_state), rngs)
+        return params, opt_state, ls[-1]
+
+    params32w = init_seq2seq(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
+    opt_state32w = set_lr(tx.init(params32w), 1e-4)
+    steww = jax.jit(win_step, donate_argnums=(0, 1))
+    args_w = (feats32h, lens32, src32, tgt32)
+    for w in (1, 2):
+        params32w, opt_state32w, loss = steww(
+            params32w, opt_state32w, *args_w, jax.random.split(root_key(w), WIN))
+        _ = float(loss)
+    rates = []
+    for _r in range(train_repeats):
+        t0 = time.perf_counter()
+        for i in range(max(2, train_iters // WIN)):
+            params32w, opt_state32w, loss = steww(
+                params32w, opt_state32w, *args_w,
+                jax.random.split(root_key(i), WIN))
+        _ = float(loss)
+        rates.append(max(2, train_iters // WIN) * WIN
+                     / (time.perf_counter() - t0))
+    step_b32w_per_s = float(np.median(rates))
+    params32w = opt_state32w = None  # donated
+
     flops = analytic_train_flops(cfg, B, b["frames"], b["max_src"],
                                  b["decode_len"])
     mfu = flops * step_per_s / V5E_PEAK_FLOPS
     mfu_bf16 = flops * step_bf16_per_s / V5E_PEAK_FLOPS
     mfu_b32 = 2 * flops * step_b32_per_s / V5E_PEAK_FLOPS
+    mfu_b32_bf16 = 2 * flops * step_b32h_per_s / V5E_PEAK_FLOPS
+    mfu_b32_win8 = 2 * flops * step_b32w_per_s / V5E_PEAK_FLOPS
 
     return (utt_per_s, utt_per_s_bf16, utt_per_s_serving, step_per_s,
             step_bf16_per_s, mfu, mfu_bf16, step_b32_per_s, mfu_b32,
+            step_b32h_per_s, mfu_b32_bf16, step_b32w_per_s, mfu_b32_win8,
             latency_b1_ms)
 
 
 def main():
     (utt_per_s, utt_per_s_bf16, utt_per_s_serving, step_per_s,
      step_bf16_per_s, mfu, mfu_bf16, step_b32_per_s, mfu_b32,
+     step_b32h_per_s, mfu_b32_bf16, step_b32w_per_s, mfu_b32_win8,
      latency_b1_ms) = bench_tpu()
 
     baseline_path = os.path.join(ROOT, "benchmarks", "reference_baseline.json")
@@ -311,9 +362,13 @@ def main():
         "beam_decode_serving_b64_utt_per_s": round(utt_per_s_serving, 3),
         "train_step_b32_per_s": round(step_b32_per_s, 4),
         "train_b32_samples_per_s": round(32 * step_b32_per_s, 2),
+        "train_b32_bf16_samples_per_s": round(32 * step_b32h_per_s, 2),
+        "train_b32_bf16_win8_samples_per_s": round(32 * step_b32w_per_s, 2),
         "mfu": round(mfu, 4),
         "mfu_bf16": round(mfu_bf16, 4),
         "mfu_b32": round(mfu_b32, 4),
+        "mfu_b32_bf16": round(mfu_b32_bf16, 4),
+        "mfu_b32_win8": round(mfu_b32_win8, 4),
         "serving_latency_b1_ms": round(latency_b1_ms, 1),
         **extra,
     }

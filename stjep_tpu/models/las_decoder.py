@@ -407,9 +407,22 @@ def las_decoder_forward(
             xs = (pre0_steps,) + (step_masks if use_drop else ())
             _final, embs = jax.lax.scan(body_tf, init, xs)
         embs_bt = jnp.swapaxes(embs, 0, 1)  # [B, L-1, Hs]
-        logits = linear(params["acous_out"], embs_bt)
-        logps_bt = jax.nn.log_softmax(logits, axis=-1)
-        symbols_bt = jnp.argmax(logps_bt, axis=-1)
+        head_in = embs_bt
+        if ref_tokens is not None:
+            # training NLL path: the fused LAS kernel emits f32 embedding
+            # streams, and an f32 head input makes the [B, L-1, 30k] logits
+            # materialise f32 (510 MB) with every reduce re-reading it —
+            # measured 3x ~490 us/step. Matching the weight dtype (bf16
+            # under --dtype bfloat16; a no-op at f32) keeps the logits at
+            # one bf16 materialisation. Only the HEAD input is cast — the
+            # returned dynamic embeddings (the ST bridge) stay f32 — and
+            # parity/eval paths are untouched.
+            head_in = embs_bt.astype(params["acous_out"]["w"].dtype)
+        logits = linear(params["acous_out"], head_in)
+        # argmax of the raw logits == argmax of log_softmax (a per-row
+        # monotone shift); reading the [B, L-1, V] logits once instead of a
+        # materialised log-softmax saves a full f32 [.., 30k] HBM pass
+        symbols_bt = jnp.argmax(logits, axis=-1)
         # vectorised _greedy_update (ref: Dec.py:320-341): length = first
         # emission of EOS-or-PAD + 1, else the full L
         eos_bt = (symbols_bt == EOS) | (symbols_bt == PAD)
@@ -417,11 +430,26 @@ def las_decoder_forward(
         first = jnp.argmax(eos_bt, axis=1).astype(jnp.int32)
         lengths = jnp.where(any_eos, first + 1, jnp.int32(L))
         if ref_tokens is not None:
-            picked = jnp.take_along_axis(
-                logps_bt, ref_tokens[:, : L - 1].astype(jnp.int32)[:, :, None],
-                axis=2)[:, :, 0]
-            return embs_bt, picked, symbols_bt, lengths
-        return embs_bt, logps_bt if want_logps else None, symbols_bt, lengths
+            # picked log-softmax via gather - logsumexp, never materialising
+            # the [B, L-1, V] log-probability tensor (the f32 write+reads
+            # were ~2.4 ms/step of the B=32 flagship train step,
+            # benchmarks/train_profile_b32.json). The f32 casts live INSIDE
+            # single-consumer reduce/gather chains so they fuse — a whole-
+            # tensor `.astype(f32)` here makes XLA materialise a second
+            # [.., V] f32 copy of the logits (measured +1.4 ms)
+            m32 = jnp.max(logits, axis=-1).astype(jnp.float32)
+            se = jnp.sum(
+                jnp.exp(logits.astype(jnp.float32) - m32[..., None]),
+                axis=-1)
+            lse = m32 + jnp.log(se)
+            pickedl = jnp.take_along_axis(
+                logits, ref_tokens[:, : L - 1].astype(jnp.int32)[:, :, None],
+                axis=2)[:, :, 0].astype(jnp.float32)
+            return embs_bt, pickedl - lse, symbols_bt, lengths
+        if not want_logps:
+            return embs_bt, None, symbols_bt, lengths
+        logps_bt = jax.nn.log_softmax(logits, axis=-1)
+        return embs_bt, logps_bt, symbols_bt, lengths
 
     def body(state, xs):
         step, emb_tf = xs[0], xs[1]

@@ -103,7 +103,13 @@ def _get_src_emb(params, cfg: ModelConfig, src, emb_src_dyn, rng=None,
     src_mask_input = pad_mask(src)  # [B, 1, L]
     src_mask = src_mask_input & subsequent_mask(src.shape[-1])  # [B, L, L]
     emb_static = embed(params["enc_embedder"], src)
-    emb_comb = jnp.concatenate([emb_static, emb_src_dyn], axis=2)
+    # the fused LAS kernels emit f32 dynamic-embedding streams; under bf16
+    # params an f32 half here would promote the concat — and with it every
+    # downstream transformer activation — back to f32 (measured: f32 attn
+    # probs/dropout masks in the "bf16" train profile). Match the static
+    # half's dtype; a no-op in f32 mode.
+    emb_comb = jnp.concatenate(
+        [emb_static, emb_src_dyn.astype(emb_static.dtype)], axis=2)
     if is_training and cfg.embedding_dropout > 0.0 and rng is not None:
         emb_comb = dropout(rng, emb_comb, cfg.embedding_dropout, False)
     emb_src = linear(params["enc_emb_proj"], emb_comb)
@@ -213,13 +219,22 @@ def forward_train(
     acous_lens: Optional[jnp.ndarray] = None,
     rng: Optional[jax.Array] = None,
     is_training: bool = True,
+    ref_pick: bool = False,
 ) -> Dict[str, jnp.ndarray]:
     """Teacher-forced training forward for mode in {ASR, MT, ST, ASR_ST, AE
     combinations}. Returns the reference's out_dict keys.
 
     is_training controls dropout/spec-aug determinism (the reference
     equivalent of model.train() vs model.eval() around forward_train);
-    the teacher-forcing structure is unaffected."""
+    the teacher-forcing structure is unaffected.
+
+    ref_pick=True returns `picked_asr` [B, Lsrc-1] — the ASR head's
+    log-softmax at the reference source token — INSTEAD of the full
+    `logps_asr` [B, Lsrc-1, V]: the only per-vocab quantity the masked
+    training NLL reads, computed gather-minus-logsumexp so the [.., 30k]
+    f32 log-probability tensor never materialises (the trainer/bench train
+    path; ~2.4 ms of the B=32 flagship step,
+    benchmarks/train_profile_b32.json)."""
     mode = mode.upper()
     assert src is not None
     if "ST" in mode or "ASR" in mode:
@@ -235,10 +250,14 @@ def forward_train(
         emb_src, logps_src, preds_src, lengths = _encoder_acous(
             params, cfg, acous_feats, acous_lens, tgt=src,
             is_training=is_training, teacher_forcing=True, rng=k,
+            ref_tokens=src[:, 1:] if ref_pick else None,
         )
         out["emb_asr"] = emb_src
         out["preds_asr"] = preds_src
-        out["logps_asr"] = logps_src
+        if ref_pick:
+            out["picked_asr"] = logps_src
+        else:
+            out["logps_asr"] = logps_src
         out["lengths_asr"] = lengths
 
     if "AE" in mode:

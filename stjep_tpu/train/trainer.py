@@ -245,9 +245,26 @@ class Trainer:
             loss = normalise(s, norm) if self.normalise_loss else s
             return loss * coeff * inv_n
 
+        def head_picked(picked, targets, coeff):
+            # identical NLL math over pre-gathered log-softmax values
+            # (forward_train ref_pick): picked[i] == logps[i, targets[i]]
+            mask = (targets != PAD).astype(picked.dtype)
+            if self.eval_with_mask:
+                s = -jnp.sum(picked * mask)
+                norm = jnp.sum(mask)
+            else:
+                s = -jnp.sum(picked)
+                norm = jnp.asarray(targets.size, jnp.float32)
+            loss = normalise(s, norm) if self.normalise_loss else s
+            return loss * coeff * inv_n
+
         if "ASR" in mode:
             coeff = self.loss_coeff["nll_asr"] if mode == "ASR_ST" else 1.0
-            l_en = head(out["logps_asr"], mb["srcid"][:, 1:], coeff)
+            if "picked_asr" in out:
+                l_en = head_picked(out["picked_asr"], mb["srcid"][:, 1:],
+                                   coeff)
+            else:
+                l_en = head(out["logps_asr"], mb["srcid"][:, 1:], coeff)
             losses["nll_loss_en"] = l_en
             total = total + l_en
         if mode == "MT":
@@ -294,7 +311,7 @@ class Trainer:
                 kwargs["acous_feats"] = minibatch_feats(mb, cache)
                 kwargs["acous_lens"] = mb["acouslen"]
             out = forward_train(params, cfg, mode, rng=rng, is_training=True,
-                                **kwargs)
+                                ref_pick=True, **kwargs)
             return self._head_losses(cfg, out, mb, inv_n)
 
         def train_step(params, opt_state, macro, cache, rng, lr, inv_n):

@@ -238,3 +238,53 @@ def test_share_embedder_ties_gradients():
         p, cfg_u, "MT", src, tgt=tgt, rng=jax.random.PRNGKey(1),
         is_training=False)["logps_mt"]))(params_u)
     assert np.any(np.asarray(gu["dec_embedder"]) != 0.0)
+
+
+def test_ref_pick_matches_dense_logps():
+    """forward_train(ref_pick=True) must return picked_asr equal to the
+    dense path's logps_asr gathered at the reference src tokens (the fused
+    gather-minus-logsumexp never materialises the [B, L-1, V] tensor but
+    computes the same log-softmax values), with identical preds/lengths,
+    and its gradient must match the dense loss's gradient."""
+    cfg = _mk("ASR_ST", dropout=0.0)
+    params = init_seq2seq(jax.random.PRNGKey(0), cfg)
+    feats, lens, src, tgt = _batch(cfg)
+    rng = jax.random.PRNGKey(3)
+
+    dense = forward_train(params, cfg, "ASR_ST", src, tgt=tgt,
+                          acous_feats=feats, acous_lens=lens, rng=rng,
+                          is_training=True)
+    pickd = forward_train(params, cfg, "ASR_ST", src, tgt=tgt,
+                          acous_feats=feats, acous_lens=lens, rng=rng,
+                          is_training=True, ref_pick=True)
+    want = jnp.take_along_axis(
+        dense["logps_asr"], src[:, 1:, None], axis=2)[:, :, 0]
+    np.testing.assert_allclose(np.asarray(pickd["picked_asr"]),
+                               np.asarray(want), rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(pickd["preds_asr"]),
+                                  np.asarray(dense["preds_asr"]))
+    np.testing.assert_array_equal(np.asarray(pickd["lengths_asr"]),
+                                  np.asarray(dense["lengths_asr"]))
+
+    def loss_dense(p):
+        o = forward_train(p, cfg, "ASR_ST", src, tgt=tgt, acous_feats=feats,
+                          acous_lens=lens, rng=rng, is_training=True)
+        return -jnp.mean(jnp.take_along_axis(
+            o["logps_asr"], src[:, 1:, None], axis=2))
+
+    def loss_pick(p):
+        o = forward_train(p, cfg, "ASR_ST", src, tgt=tgt, acous_feats=feats,
+                          acous_lens=lens, rng=rng, is_training=True,
+                          ref_pick=True)
+        return -jnp.mean(o["picked_asr"])
+
+    gd = jax.grad(loss_dense)(params)
+    gp = jax.grad(loss_pick)(params)
+    for (ka, a), (kb, bb) in zip(
+            sorted((jax.tree_util.keystr(k), v) for k, v in
+                   jax.tree_util.tree_leaves_with_path(gd)),
+            sorted((jax.tree_util.keystr(k), v) for k, v in
+                   jax.tree_util.tree_leaves_with_path(gp))):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(bb), rtol=2e-4, atol=1e-6,
+            err_msg=ka)
