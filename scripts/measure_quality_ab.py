@@ -401,10 +401,30 @@ def main():
     with open(os.path.join(ROOT, "benchmarks", "quality_ab.json"), "w") as f:
         json.dump(result, f, indent=2)
 
-    # regression gate: multi-seed mean +/- max(observed cross-seed range,
-    # 0.05 floor so a 2-3 seed lucky cluster can't over-tighten the gate)
+    # regression gate: multi-seed mean +/- the observed cross-seed range;
+    # below 5 seeds keep the 0.05 floor (a 2-3 seed lucky cluster would
+    # over-tighten the gate — VERDICT r4 #3 tightened the >=5-seed band to
+    # the observed range)
     def band(s):
-        return round(max(s["max"] - s["min"], 0.05), 4)
+        floor_band = 0.05 if len(seeds) < 5 else 0.0
+        return round(max(s["max"] - s["min"], floor_band), 4)
+
+    # pairwise WER adjudication (VERDICT r4 #3): same seeds both arms, so
+    # per-seed differences pair off seed luck; jax losing >= 4/5 pairs
+    # would indicate a systematic ASR-side deficit, not noise
+    pairs = {
+        str(seed): {
+            "jax": jax_sum["asr_dev_wer"]["per_seed"][str(seed)],
+            "torch": torch_sum["asr_dev_wer"]["per_seed"][str(seed)],
+        }
+        for seed in seeds
+    }
+    jax_losses = sum(1 for v in pairs.values() if v["jax"] > v["torch"])
+    wer_verdict = (
+        f"jax worse on {jax_losses}/{len(seeds)} paired seeds: "
+        + ("SYSTEMATIC-DEFICIT-SUSPECTED (bisect SpecAugment draw "
+           "semantics / LSTM init / dropout placement)"
+           if jax_losses * 5 >= 4 * len(seeds) else "resolved: noise"))
 
     gate = {
         "corpus": result["corpus"],
@@ -419,6 +439,14 @@ def main():
             "asr_dev_wer": jax_sum["asr_dev_wer"]["per_seed"],
             "st_dev_bleu": jax_sum["st_dev_bleu"]["per_seed"],
         },
+        # the torch arm's numbers mirrored here so the headline comparison
+        # re-derives from THIS artifact alone (VERDICT r4 weak #5)
+        "torch_reference": {
+            "asr_dev_wer": torch_sum["asr_dev_wer"],
+            "st_dev_bleu": torch_sum["st_dev_bleu"],
+        },
+        "paired_wer": pairs,
+        "wer_verdict": wer_verdict,
         "gate": "re-run scripts/measure_quality_ab.py (same seeds); the "
                 "multi-seed mean dev WER/BLEU must land within the recorded "
                 "band of these means",
