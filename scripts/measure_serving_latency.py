@@ -122,6 +122,30 @@ def paired_delta_ms(times, longer, shorter):
         [a - b for a, b in zip(times[longer], times[shorter])]))
 
 
+def device_ms_per_call(fn, args, drain, tag, reps=10):
+    """DEVICE wall per call from the profiler's program envelopes.
+
+    The pipelined wall rows above still carry the per-call HOST dispatch
+    (~5 ms/call on this 1-CPU tunnel host, which pipelining cannot
+    compress below the host's dispatch rate) — discovered in r5 when the
+    'pyramid' first-prefix row measured 6-7 ms of wall against 0.83 ms of
+    device time (benchmarks/pyramid_b1.json). jax.profiler works on axon;
+    program envelopes give the dispatch-free device truth."""
+    import shutil
+
+    from stjep_tpu.utils.trace_tools import window_breakdown
+
+    logdir = f"/tmp/slat_trace_{tag}"
+    shutil.rmtree(logdir, ignore_errors=True)
+    d = drain or _default_drain
+    with jax.profiler.trace(logdir):
+        for _ in range(reps):
+            out = fn(*args)
+        d(out)
+    wb = window_breakdown(logdir)
+    return wb["program_ms"] / max(wb["programs"], 1)
+
+
 stages = {}
 
 # Cumulative single-program prefixes of the production ST pipeline: every
@@ -175,6 +199,24 @@ times = measure_programs([
 ms_pyr = float(np.median(times["pyr"]))
 full_ms = float(np.median(times["full"]))
 full_q_ms = float(np.median(times["full_q"]))
+
+# device-side (dispatch-free) per-prefix program times from the profiler
+dev = {
+    "pyr": device_ms_per_call(
+        pyr, (params["las"]["encoder"], feats, lens), None, "pyr"),
+    "las": device_ms_per_call(
+        las_full, (params, feats, lens),
+        lambda out: int(np.asarray(out[2][0, 0])), "las"),
+    "enc": device_ms_per_call(
+        enc_j, (params, feats, lens),
+        lambda out: float(np.asarray(out[0][0, 0, 0])), "enc"),
+    "full": device_ms_per_call(
+        lambda p: dec1(p, acous_feats=feats, acous_lens=lens), (params,),
+        None, "full"),
+    "full_q": device_ms_per_call(
+        lambda p: dec1_q(p, acous_feats=feats, acous_lens=lens), (params,),
+        None, "full_q"),
+}
 
 las_steps = b["max_src"] - 1
 beam_steps = b["decode_len"] - 1
@@ -257,8 +299,24 @@ result = {
     "blocking_call_ms": round(blocking_ms, 1),
     "pipelined_full_ms": round(full_ms, 1),
     "pipelined_full_int8w_ms": round(full_q_ms, 1),
+    "device_full_ms": round(dev["full"], 2),
+    "device_full_int8w_ms": round(dev["full_q"], 2),
+    "host_dispatch_share_ms": round(full_ms - dev["full"], 1),
     "tunnel_share_ms": round(blocking_ms - full_ms, 1),
     "stages": stages,
+    "stages_device_ms": {
+        "pyramid": round(dev["pyr"], 2),
+        "las_greedy": round(dev["las"] - dev["pyr"], 2),
+        "tf_encoder": round(dev["enc"] - dev["las"], 2),
+        "tf_beam": round(dev["full"] - dev["enc"], 2),
+        "tf_beam_int8w": round(dev["full_q"] - dev["enc"], 2),
+        "note": "per-call DEVICE program time from jax.profiler envelopes "
+                "(telescoping deltas over the same prefixes): the "
+                "dispatch-free truth. The wall stages above additionally "
+                "carry the host-dispatch share on this 1-CPU tunnel host; "
+                "on a production host with a local chip and free cores, "
+                "the device rows are the latency.",
+    },
     "protocol": "interleaved paired timing: every repeat round times all "
                 "prefix programs once (5 pipelined calls drained once); "
                 "stage rows are medians of WITHIN-ROUND telescoping deltas "
