@@ -181,10 +181,16 @@ def _self_core(pos, x, anc_ref, maskk_ref,
     cols = jax.lax.broadcasted_iota(jnp.int32, (B, BK), 0) * group
     knew_gm = []
     vnew_gm = []
+    # HIGHEST: these 0/1 matmuls SHUFFLE the freshly-projected K/V rows
+    # into group-major order — default MXU precision would round the
+    # values to bf16 before the cache's own storage dtype gets a say
+    hp = jax.lax.Precision.HIGHEST
     for j in range(group):
         pj = (rows == cols + j).astype(f32)  # [B, BK] selects rows b*g+j
-        knew_gm.append(jnp.dot(pj, k_new, preferred_element_type=f32)[None])
-        vnew_gm.append(jnp.dot(pj, v_new, preferred_element_type=f32)[None])
+        knew_gm.append(jnp.dot(pj, k_new, preferred_element_type=f32,
+                               precision=hp)[None])
+        vnew_gm.append(jnp.dot(pj, v_new, preferred_element_type=f32,
+                               precision=hp)[None])
     knew_gm = jnp.concatenate(knew_gm, axis=0)  # [group, B, D]
     vnew_gm = jnp.concatenate(vnew_gm, axis=0)
     inblk = jax.lax.broadcasted_iota(
@@ -1206,11 +1212,20 @@ def decode_chain_step_flash(
 
 
 def _row_of(v):
-    """[N, 1] f32 -> [1, N] via a ones-matmul (Mosaic-safe transpose)."""
+    """[N, 1] f32 -> [1, N] via a ones-matmul (Mosaic-safe transpose).
+
+    HIGHEST precision: this and every other bookkeeping matmul SHUFFLES
+    values (scores, token ids) rather than computing — the default TPU
+    matmul precision rounds f32 operands to bf16 on the MXU, which
+    corrupts what should be exact copies (token ids > 256 stop being
+    representable; near-tie scores flip). Caught by the on-chip margin
+    check (scripts/check_flash_tpu.py) — CPU interpret mode computes
+    exactly and cannot see it."""
     ones = jnp.ones((1, 1), jnp.float32)
     return jax.lax.dot_general(
         ones, v, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
 
 
 def _beam_step_kernel(i_ref, tok_ref, preds_in, anc_in, maskk_in,
@@ -1252,7 +1267,11 @@ def _beam_step_kernel(i_ref, tok_ref, preds_in, anc_in, maskk_in,
         V = emb_ref.shape[0]
         vio = jax.lax.broadcasted_iota(i32, (BK, V), 1)
         oh = (vio == tok).astype(f32)
-        emb = jnp.dot(oh, emb_ref[:], preferred_element_type=f32)
+        # HIGHEST: a one-hot lookup must return the table row EXACTLY
+        # (default MXU precision would round table values to bf16,
+        # diverging from the XLA arm's jnp.take)
+        emb = jnp.dot(oh, emb_ref[:], preferred_element_type=f32,
+                      precision=jax.lax.Precision.HIGHEST)
         emb = emb * (tok != pad_id).astype(f32)
         sig = tsig_ref[pl.ds(pos, 1), :]  # [1, D] dynamic sublane slice
         xs[:] = emb + sig
@@ -1289,10 +1308,13 @@ def _beam_step_kernel(i_ref, tok_ref, preds_in, anc_in, maskk_in,
         # group-row extraction: cand[j][b, c] = st[b*K+j, c]
         rows_b = jax.lax.broadcasted_iota(i32, (B, BK), 1)
         bidx = jax.lax.broadcasted_iota(i32, (B, BK), 0)
+        hp = jax.lax.Precision.HIGHEST  # exact value shuffling (see _row_of)
         pjs = [(rows_b == bidx * K + j).astype(f32) for j in range(K)]
-        cand = [jnp.dot(pj, st, preferred_element_type=f32) for pj in pjs]
+        cand = [jnp.dot(pj, st, preferred_element_type=f32, precision=hp)
+                for pj in pjs]
         predf = [jnp.dot(pj, pred_k.astype(f32),
-                         preferred_element_type=f32) for pj in pjs]
+                         preferred_element_type=f32, precision=hp)
+                 for pj in pjs]
 
         # iterative top-K over the K^2 candidates, flat index j*K + c
         # (identical ordering/ties to lax.top_k over reshape(B, K*K))
@@ -1339,7 +1361,7 @@ def _beam_step_kernel(i_ref, tok_ref, preds_in, anc_in, maskk_in,
             out = jnp.zeros((BK, 1), f32)
             for k in range(K):
                 v = jnp.dot(expand, slot_vals[k],
-                            preferred_element_type=f32)
+                            preferred_element_type=f32, precision=hp)
                 out = jnp.where(smod == k, v, out)
             return out
 
@@ -1353,10 +1375,12 @@ def _beam_step_kernel(i_ref, tok_ref, preds_in, anc_in, maskk_in,
         colq = jax.lax.broadcasted_iota(i32, (BK, BK), 1)
         R = (colq == src_row).astype(f32)
         ct = lambda a, b: jax.lax.dot_general(
-            a, b, (((1,), (1,)), ((), ())), preferred_element_type=f32)
+            a, b, (((1,), (1,)), ((), ())), preferred_element_type=f32,
+            precision=hp)
 
         preds_f = jnp.dot(R, preds_in[:].astype(f32),
-                          preferred_element_type=f32)  # [BK, Lbuf]
+                          preferred_element_type=f32,
+                          precision=hp)  # [BK, Lbuf]
         li = jax.lax.broadcasted_iota(i32, (BK, L), 1)
         preds_f = jnp.where(li == i_cur, pred_sel, preds_f)
         preds_out[:] = preds_f.astype(i32)
