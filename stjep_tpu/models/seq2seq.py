@@ -179,13 +179,31 @@ def _encoder_en(params, cfg, emb_src, src_mask=None, rng=None,
 
 def _decoder_de(params, cfg, emb_tgt, enc_outputs, tgt_mask=None,
                 src_mask=None, rng=None, is_training=False,
-                max_time: int = UPPERBOUND_SEQ_LEN):
-    """(dec_outputs, logits, logps, preds) — ref: Seq2seq.py:249-257."""
+                max_time: int = UPPERBOUND_SEQ_LEN, ref_pick_ids=None):
+    """(dec_outputs, logits, logps, preds) — ref: Seq2seq.py:249-257.
+
+    ref_pick_ids [B, L-1] (the shifted targets): the logps slot instead
+    returns picked [B, L-1] — the log-softmax of logits[:, :-1] at the
+    reference id — via gather - logsumexp with in-reduce f32 casts, never
+    materialising the [B, L, V] log-probability tensor (the training NLL's
+    only per-vocab read; same construction as the LAS head, see
+    models/las_decoder.py)."""
     dec_out, _, _ = tf_decoder_forward(
         params["dec_tgt"], cfg, emb_tgt, enc_outputs, tgt_mask=tgt_mask,
         src_mask=src_mask, rng=rng, is_training=is_training, max_time=max_time,
     )
     logits = linear(params["out_tgt"], dec_out)
+    if ref_pick_ids is not None:
+        preds = jnp.argmax(logits, axis=2)  # == argmax of log_softmax
+        lg = logits[:, :-1, :]
+        m32 = jnp.max(lg, axis=-1).astype(jnp.float32)
+        se = jnp.sum(jnp.exp(lg.astype(jnp.float32) - m32[..., None]),
+                     axis=-1)
+        lse = m32 + jnp.log(se)
+        pickedl = jnp.take_along_axis(
+            lg, ref_pick_ids.astype(jnp.int32)[:, :, None],
+            axis=2)[:, :, 0].astype(jnp.float32)
+        return dec_out, logits, pickedl - lse, preds
     logps = jax.nn.log_softmax(logits, axis=2)
     preds = jnp.argmax(logps, axis=2)
     return dec_out, logits, logps, preds
@@ -298,10 +316,14 @@ def forward_train(
         _, _, logps_tgt, preds_tgt = _decoder_de(
             params, cfg, emb_tgt, enc_out, tgt_mask=tgt_mask,
             src_mask=src_mask_input, rng=k4, is_training=is_training,
+            ref_pick_ids=tgt[:, 1:] if ref_pick else None,
         )
         out["emb_mt"] = emb_src
         out["preds_mt"] = preds_tgt
-        out["logps_mt"] = logps_tgt
+        if ref_pick:
+            out["picked_mt"] = logps_tgt
+        else:
+            out["logps_mt"] = logps_tgt
 
     if "ST" in mode:
         rng, k1, k2, k3, k4, k5 = jax.random.split(rng, 6)
@@ -327,10 +349,14 @@ def forward_train(
         _, _, logps_tgt, preds_tgt = _decoder_de(
             params, cfg, emb_tgt, enc_out, tgt_mask=tgt_mask,
             src_mask=src_mask_input, rng=k4, is_training=is_training,
+            ref_pick_ids=tgt[:, 1:] if ref_pick else None,
         )
         out["emb_st"] = emb_src
         out["preds_st"] = preds_tgt
-        out["logps_st"] = logps_tgt
+        if ref_pick:
+            out["picked_st"] = logps_tgt
+        else:
+            out["logps_st"] = logps_tgt
 
     return out
 

@@ -268,17 +268,25 @@ class Trainer:
             losses["nll_loss_en"] = l_en
             total = total + l_en
         if mode == "MT":
-            l_de = head(
-                out["logps_mt"][:, :-1, :], mb["tgtid"][:, 1:],
-                self.loss_coeff["nll_mt"],
-            )
+            if "picked_mt" in out:
+                l_de = head_picked(out["picked_mt"], mb["tgtid"][:, 1:],
+                                   self.loss_coeff["nll_mt"])
+            else:
+                l_de = head(
+                    out["logps_mt"][:, :-1, :], mb["tgtid"][:, 1:],
+                    self.loss_coeff["nll_mt"],
+                )
             losses["nll_loss_de"] = l_de
             total = total + l_de
         if "ST" in mode:
-            l_de = head(
-                out["logps_st"][:, :-1, :], mb["tgtid"][:, 1:],
-                self.loss_coeff["nll_st"],
-            )
+            if "picked_st" in out:
+                l_de = head_picked(out["picked_st"], mb["tgtid"][:, 1:],
+                                   self.loss_coeff["nll_st"])
+            else:
+                l_de = head(
+                    out["logps_st"][:, :-1, :], mb["tgtid"][:, 1:],
+                    self.loss_coeff["nll_st"],
+                )
             losses["nll_loss_de"] = l_de
             total = total + l_de
         return total, losses

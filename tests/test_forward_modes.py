@@ -261,10 +261,28 @@ def test_ref_pick_matches_dense_logps():
         dense["logps_asr"], src[:, 1:, None], axis=2)[:, :, 0]
     np.testing.assert_allclose(np.asarray(pickd["picked_asr"]),
                                np.asarray(want), rtol=1e-5, atol=1e-6)
+    want_st = jnp.take_along_axis(
+        dense["logps_st"][:, :-1], tgt[:, 1:, None], axis=2)[:, :, 0]
+    np.testing.assert_allclose(np.asarray(pickd["picked_st"]),
+                               np.asarray(want_st), rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(pickd["preds_st"]),
+                                  np.asarray(dense["preds_st"]))
     np.testing.assert_array_equal(np.asarray(pickd["preds_asr"]),
                                   np.asarray(dense["preds_asr"]))
     np.testing.assert_array_equal(np.asarray(pickd["lengths_asr"]),
                                   np.asarray(dense["lengths_asr"]))
+
+    # MT head picked parity (word-level-vocab MT shares the same path)
+    dense_mt = forward_train(params, cfg, "MT", src, tgt=tgt,
+                             acous_feats=feats, acous_lens=lens, rng=rng,
+                             is_training=True)
+    pick_mt = forward_train(params, cfg, "MT", src, tgt=tgt,
+                            acous_feats=feats, acous_lens=lens, rng=rng,
+                            is_training=True, ref_pick=True)
+    want_mt = jnp.take_along_axis(
+        dense_mt["logps_mt"][:, :-1], tgt[:, 1:, None], axis=2)[:, :, 0]
+    np.testing.assert_allclose(np.asarray(pick_mt["picked_mt"]),
+                               np.asarray(want_mt), rtol=1e-5, atol=1e-6)
 
     def loss_dense(p):
         o = forward_train(p, cfg, "ASR_ST", src, tgt=tgt, acous_feats=feats,
