@@ -210,9 +210,8 @@ def bench_tpu(train_iters: int = 10, train_repeats: int = 3):
             o = forward_train(p, cfg, "ASR_ST", src, tgt=tgt, acous_feats=feats,
                               acous_lens=lens, rng=rng, is_training=True,
                               ref_pick=True)
-            la = -jnp.mean(o["picked_asr"])  # == NLL at the ref src tokens
-            ld = -jnp.mean(jnp.take_along_axis(
-                o["logps_st"][:, :-1], tgt[:, 1:, None], axis=2))
+            la = -jnp.mean(o["picked_asr"])  # == NLL at the ref tokens
+            ld = -jnp.mean(o["picked_st"])
             return la + ld
 
         loss, grads = jax.value_and_grad(loss_fn)(params)

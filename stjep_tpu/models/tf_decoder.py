@@ -274,26 +274,15 @@ def tf_decoder_init_cache_chain(
     caches stacked along a leading layer axis — self [nl, group, B, Lpad, D],
     memory K/V [nl, B, Lk_pad, D] — so the kernel addresses layer `l` with
     one dynamic leading index. Fields hold the stacked arrays directly
-    (not per-layer tuples)."""
-    from stjep_tpu.ops.attention import linear
-    from stjep_tpu.ops.decode_flash import BLOCK, CROSS_BLOCK, pad_len
-
-    B, Lk, _ = memory.shape
-    nl = cfg.dec_layers
-    Lbuf = pad_len(max_len, BLOCK)
-    Lk_pad = pad_len(Lk, CROSS_BLOCK)
-    mem = jnp.pad(memory, ((0, 0), (0, Lk_pad - Lk), (0, 0)))
-    dt = cache_dtype or memory.dtype
-    mem_ks, mem_vs = [], []
-    for i in range(nl):
-        ca = _layer_params(params, cfg, i)["encdec_attn"]
-        mem_ks.append(linear(ca["w_ks"], mem).astype(dt))
-        mem_vs.append(linear(ca["w_vs"], mem).astype(dt))
-    d_cache = _layer_params(params, cfg, 0)["decslf_attn"]["w_ks"]["w"].shape[1]
-    zeros = jnp.zeros((nl, group, B, Lbuf, d_cache), dt)
+    (not per-layer tuples). Built by stacking tf_decoder_init_cache_flash's
+    outputs so the two layouts cannot drift."""
+    c = tf_decoder_init_cache_flash(
+        params, cfg, memory, max_len, group, cache_dtype=cache_dtype)
     return TFDecCache(
-        self_k=zeros, self_v=zeros,
-        mem_k=jnp.stack(mem_ks, axis=0), mem_v=jnp.stack(mem_vs, axis=0),
+        self_k=jnp.stack(c.self_k, axis=0),
+        self_v=jnp.stack(c.self_v, axis=0),
+        mem_k=jnp.stack(c.mem_k, axis=0),
+        mem_v=jnp.stack(c.mem_v, axis=0),
     )
 
 

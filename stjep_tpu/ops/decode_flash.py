@@ -83,7 +83,10 @@ def stream_blocks(n_rows: int, d_model: int = 512, itemsize: int = 4,
     itself, and L % L == 0)."""
     blk, bs = BLOCK, CROSS_BLOCK
     budget = 56 * 1024 * 1024
-    if (max_len and max_len % 8 == 0
+    # BLOCK alignment required: _self_core's flush window is BLOCK-row
+    # aligned inside the (whole-length) read block, so a max_len that is
+    # 8- but not 16-aligned would compute an out-of-bounds flush slice
+    if (max_len and max_len % BLOCK == 0
             and 10 * n_rows * max_len * d_model * itemsize <= budget):
         return max_len, max_len
     while blk > 4 and 10 * n_rows * blk * d_model * itemsize > budget:
@@ -962,10 +965,14 @@ def stack_decoder_layers(dec_params: Dict) -> Tuple[Tuple[jnp.ndarray, ...], boo
 def chain_supported(cfg) -> bool:
     """The chained kernel covers the standard (non-universal, non-ACT)
     decoder; universal's per-layer signal add keeps the per-layer path.
-    Interpret mode (CPU) has no tiling constraint, so the oracle/beam
-    parity suites (which force flash on CPU) pin the chain path — the
-    default on TPU — end to end. STJEP_NO_CHAIN=1 restores the per-layer
-    launches for A/B."""
+    Interpret mode (CPU) has no tiling constraint, so every suite that
+    forces the kernels on CPU (tests/test_decode_flash.py chain/megastep
+    parity + flash-vs-XLA e2e, test_spmd_kernels, test_tp_decode,
+    test_eval_fast, and test_beam_parity's forced-kernel oracle arm vs the
+    live torch reference) pins the chain path — the default on TPU — end
+    to end; on-chip it is pinned by benchmarks/strict_f32_tpu.json,
+    flash_tpu.json and int8_decode_tpu.json. STJEP_NO_CHAIN=1 restores
+    the per-layer launches for A/B."""
     import os
 
     if os.environ.get("STJEP_NO_CHAIN"):
@@ -1528,22 +1535,38 @@ def decode_beam_step_flash(
 
 def _head_kernel(x_ref, lns_ref, lnb_ref, w_ref, *rest,
                  topk: int, gather: bool, partial: bool = False):
-    if partial:
-        if gather:
-            gid_ref, sc_ref, id_ref, glp_ref, mx_ref, se_ref = rest
-        else:
-            sc_ref, id_ref, mx_ref, se_ref = rest
-    elif gather:
-        gid_ref, sc_ref, id_ref, glp_ref = rest
-    else:
-        sc_ref, id_ref = rest
     f32 = jnp.float32
+    if not partial:
+        # non-partial path: the exact _head_topk core the chain/megastep
+        # kernels run — ONE definition, so the chain-vs-per-layer equality
+        # (test_chain_step_matches_per_layer) cannot drift
+        if gather:
+            gid_ref, sc_ref, id_ref, glp_ref = rest
+        else:
+            sc_ref, id_ref = rest
+        sc, ids, logits, lse = _head_topk(
+            x_ref[:], lns_ref, lnb_ref, w_ref, topk)
+        sc_ref[:] = sc
+        id_ref[:] = ids
+        if gather:
+            BK, V = logits.shape
+            iota = jax.lax.broadcasted_iota(jnp.int32, (BK, V), 1)
+            gid = gid_ref[:, 0][:, None]  # [BK, 1]
+            glog = jnp.sum(jnp.where(iota == gid, logits, 0.0), axis=-1)
+            glp_ref[:] = (glog - lse)[:, None]
+        return
+
+    # partial (tensor-parallel) mode: emits RAW top logits plus (mx, se)
+    # so the caller can form the GLOBAL logsumexp across vocab shards
+    if gather:
+        gid_ref, sc_ref, id_ref, glp_ref, mx_ref, se_ref = rest
+    else:
+        sc_ref, id_ref, mx_ref, se_ref = rest
     x = _ln(x_ref[:], lns_ref[:], lnb_ref[:], eps=1e-5)  # torch default eps
     logits = jnp.dot(x, w_ref[:], preferred_element_type=f32)
     BK, V = logits.shape
     mx = jnp.max(logits, axis=-1)
     se = jnp.sum(jnp.exp(logits - mx[:, None]), axis=-1)
-    lse = mx + jnp.log(se)
 
     # top-k by iterative first-max extraction — identical ordering to
     # jax.lax.top_k (ties resolve to the lowest index)
@@ -1553,26 +1576,20 @@ def _head_kernel(x_ref, lns_ref, lnb_ref, w_ref, *rest,
     for _k in range(topk):
         mk = jnp.max(cur, axis=-1)  # [BK]
         amk = jnp.min(jnp.where(cur == mk[:, None], iota, V), axis=-1)
-        # log_softmax(top value) == top logit - logsumexp (monotonic shift);
-        # the partial (tensor-parallel) mode emits RAW logits plus (mx, se)
-        # so the caller can form the GLOBAL logsumexp across vocab shards
-        scs.append((mk if partial else mk - lse)[:, None])
+        scs.append(mk[:, None])
         ids.append(amk[:, None].astype(jnp.int32))
         cur = jnp.where(iota == amk[:, None], -1e30, cur)
     sc_ref[:] = jnp.concatenate(scs, axis=1)
     id_ref[:] = jnp.concatenate(ids, axis=1)
-    if partial:
-        mx_ref[:] = mx[:, None]
-        se_ref[:] = se[:, None]
+    mx_ref[:] = mx[:, None]
+    se_ref[:] = se[:, None]
     if gather:
-        # log-softmax value at a caller-given id per row (one-hot select —
-        # the trainer's dev NLL reads the free-running distribution at the
-        # reference token, ref: trainer_asr.py:_evaluate_batches). In
-        # partial mode the id arrives pre-offset into the local vocab shard
-        # (out-of-shard ids match nothing and contribute 0 to the psum).
+        # in partial mode the id arrives pre-offset into the local vocab
+        # shard (out-of-shard ids match nothing and contribute 0 to the
+        # psum)
         gid = gid_ref[:, 0][:, None]  # [BK, 1]
         glog = jnp.sum(jnp.where(iota == gid, logits, 0.0), axis=-1)
-        glp_ref[:] = (glog if partial else glog - lse)[:, None]
+        glp_ref[:] = glog[:, None]
 
 
 def decode_head(

@@ -145,3 +145,33 @@ def test_beam_refen_st_parity(setup):
         assert _detok_ids(got[b, 1:], id2word) == _detok_ids(
             ref_preds[b, 1:], id2word
         )
+
+
+@pytest.mark.slow  # interpret-mode Pallas: the forced-kernel oracle arm
+@pytest.mark.parametrize("mode,beam", [("MT", 2), ("MT", 3), ("ST", 3),
+                                       ("ST_BASE", 3)])
+def test_beam_parity_kernels_forced(setup, monkeypatch, mode, beam):
+    """The fused decode path (the chain/megastep kernels — the default on
+    TPU) pinned LINE-IDENTICAL against the live torch reference, not just
+    against the dense XLA arm: STJEP_FORCE_FLASH runs the kernels in
+    interpret mode on CPU, where their f32 arithmetic must reproduce the
+    reference beams exactly (ref: models/Seq2seq.py:337-393)."""
+    monkeypatch.setenv("STJEP_FORCE_FLASH", "1")
+    cfg, ref, params, feats, lens, src, id2word = setup
+    kw_ref = dict(beam=beam)
+    kw_jax = dict(beam_width=beam, penalty_factor=1.0,
+                  max_seq_len=MAX_DECODE)
+    if mode == "MT":
+        ref_preds = _ref_translate(ref, "MT", src=src, **kw_ref).numpy()
+        got = np.asarray(forward_translate(
+            params, cfg, "MT", src=jnp.asarray(src), **kw_jax))
+    else:
+        ref_preds = _ref_translate(ref, mode, feats=feats, lens=lens,
+                                   **kw_ref).numpy()
+        got = np.asarray(forward_translate(
+            params, cfg, mode, acous_feats=jnp.asarray(feats),
+            acous_lens=jnp.asarray(lens), **kw_jax))
+    for b in range(ref_preds.shape[0]):
+        assert _detok_ids(got[b, 1:], id2word) == _detok_ids(
+            ref_preds[b, 1:], id2word
+        ), (mode, beam, b, got[b], ref_preds[b])
